@@ -1,0 +1,220 @@
+"""Configuration system.
+
+Keeps the reference's public YAML schema (DATASET / MODEL / TRAIN sections with
+identical keys — see /root/reference/seg3d/utils/config.py:5-78) but replaces the
+mutable global ``cfg`` singleton with an explicit, immutable config object that is
+returned from :func:`cfg_from_file`.
+
+Additions over the reference schema live in the new ``RUNTIME`` section: TPU
+execution needs *static* shapes, so every dynamic count (points/frame,
+voxels/stage, windows/bucket) is padded to a configured capacity there. The
+reference's own window-bucket tables (``MODEL.BATCHING_INFO``) prove the models
+tolerate capacity capping; ``RUNTIME`` generalises that scheme to the whole
+pipeline.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any
+
+import numpy as np
+import yaml
+
+
+class ConfigDict(dict):
+    """A dict with attribute access. Immutable once ``freeze()`` is called."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        object.__setattr__(self, "_frozen", False)
+        for k, v in list(self.items()):
+            if isinstance(v, dict) and not isinstance(v, ConfigDict):
+                self[k] = ConfigDict(v)
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        if object.__getattribute__(self, "_frozen"):
+            raise AttributeError(f"Config is frozen; cannot set {name!r}")
+        if isinstance(value, dict) and not isinstance(value, ConfigDict):
+            value = ConfigDict(value)
+        self[name] = value
+
+    def __setitem__(self, key, value):
+        if object.__getattribute__(self, "_frozen"):
+            raise AttributeError(f"Config is frozen; cannot set {key!r}")
+        super().__setitem__(key, value)
+
+    def freeze(self) -> "ConfigDict":
+        for v in self.values():
+            if isinstance(v, ConfigDict):
+                v.freeze()
+        object.__setattr__(self, "_frozen", True)
+        return self
+
+    def unfrozen_copy(self) -> "ConfigDict":
+        out = ConfigDict()
+        for k, v in self.items():
+            if isinstance(v, ConfigDict):
+                out[k] = v.unfrozen_copy()
+            else:
+                out[k] = copy.deepcopy(v)
+        return out
+
+
+def default_config() -> ConfigDict:
+    """Defaults mirroring the reference schema (seg3d/utils/config.py:5-78),
+    plus the TPU-specific RUNTIME section."""
+    c = ConfigDict()
+
+    # ----- dataset config (schema parity with reference) -----
+    c.DATASET = ConfigDict()
+    c.DATASET.USE_MULTI_SWEEPS = False
+    c.DATASET.MAX_NUM_SWEEPS = 5
+    c.DATASET.NUM_SWEEPS = 3
+    c.DATASET.USE_CYLINDER = False
+    c.DATASET.POINT_CLOUD_RANGE = [-72, -72, -2, 72, 72, 4.4]
+    c.DATASET.VOXEL_SIZE = [0.1, 0.1, 0.1]
+    c.DATASET.DIM_POINT = 6
+    c.DATASET.USE_IMAGE_FEATURE = False
+    c.DATASET.DIM_IMAGE_FEATURE = 28
+    c.DATASET.NUM_CLASSES = 22
+    c.DATASET.CLASS_NAMES = []
+    c.DATASET.CLASS_WEIGHT = []
+    c.DATASET.PALETTE = []
+    c.DATASET.IGNORE_INDEX = 255
+
+    c.DATASET.AUG_DATA = True
+    c.DATASET.AUG_ROT_RANGE = [-0.78539816, 0.78539816]
+    c.DATASET.AUG_SCALE_RANGE = [0.95, 1.05]
+    c.DATASET.AUG_TRANSLATE_STD = 0.5
+    c.DATASET.AUG_SAMPLE_RATIO = 0.95
+    c.DATASET.AUG_SAMPLE_RANGE = 50.0
+    c.DATASET.AUG_COLOR_DROP_RATIO = 0.5
+
+    c.DATASET.VISUALIZE = False
+
+    # ----- model config (schema parity) -----
+    c.MODEL = ConfigDict()
+    c.MODEL.SEGMENTOR = 'segformer'
+    c.MODEL.LOSSES = {'ohem_ce': 1.0, 'lovasz': 1.0}
+    c.MODEL.OHEM_KEEP_RATIO = 0.3
+    c.MODEL.OHEM_KEEP_THRESH = 0.7
+    c.MODEL.AUX_LOSS_WEIGHT = 0.4
+    # Window-occupancy bucket tables, one per backbone stage
+    # (reference seg3d/utils/config.py:42-67).
+    c.MODEL.BATCHING_INFO = [
+        {
+            '0': {'max_tokens': 16, 'batching_range': [0, 16]},
+            '1': {'max_tokens': 64, 'batching_range': [16, 64]},
+            '2': {'max_tokens': 256, 'batching_range': [64, 256]},
+            '3': {'max_tokens': 800, 'batching_range': [256, 100000]},
+        },
+        {
+            '0': {'max_tokens': 32, 'batching_range': [0, 32]},
+            '1': {'max_tokens': 128, 'batching_range': [32, 128]},
+            '2': {'max_tokens': 512, 'batching_range': [128, 512]},
+            '3': {'max_tokens': 800, 'batching_range': [512, 100000]},
+        },
+        {
+            '0': {'max_tokens': 64, 'batching_range': [0, 64]},
+            '1': {'max_tokens': 160, 'batching_range': [64, 160]},
+            '2': {'max_tokens': 384, 'batching_range': [160, 384]},
+            '3': {'max_tokens': 800, 'batching_range': [384, 100000]},
+        },
+        {
+            '0': {'max_tokens': 128, 'batching_range': [0, 128]},
+            '1': {'max_tokens': 256, 'batching_range': [128, 256]},
+            '2': {'max_tokens': 512, 'batching_range': [256, 512]},
+            '3': {'max_tokens': 800, 'batching_range': [512, 100000]},
+        },
+    ]
+    c.MODEL.WINDOW_SHAPE = [10, 10, 8]
+    c.MODEL.DEPTHS = [3, 4, 8, 3]
+    c.MODEL.DROP_PATH_RATE = 0.3
+
+    # ----- training config (schema parity) -----
+    c.TRAIN = ConfigDict()
+    c.TRAIN.OPTIMIZER = 'adamw'
+    c.TRAIN.LR = 0.001
+    c.TRAIN.WEIGHT_DECAY = 0.01
+    c.TRAIN.MOMENTUM = 0.9
+    c.TRAIN.LR_SCHEDULER = 'warmup_poly_lr'
+
+    # ----- TPU runtime section (new; static-shape capacities) -----
+    c.RUNTIME = ConfigDict()
+    # Max LiDAR points per frame after augmentation (Waymo two-return frames
+    # carry ~170k points; multi-sweep configs concatenate NUM_SWEEPS frames).
+    c.RUNTIME.MAX_POINTS_PER_SAMPLE = 180224
+    # Max occupied voxels per frame at full resolution (~65-90k typical at 0.1m).
+    c.RUNTIME.MAX_VOXELS_PER_SAMPLE = 114688
+    # Voxel capacity of backbone stages 1..4 as fractions of MAX_VOXELS_PER_SAMPLE.
+    # Stride-2 downsampling of surface-like LiDAR data shrinks occupancy by
+    # roughly 3-4x per stage; 1/2 per stage is a safe envelope.
+    c.RUNTIME.STAGE_CAPACITY_RATIOS = [1.0, 0.5, 0.25, 0.125]
+    # Per-bucket token capacity of each window-attention level, as a fraction of
+    # the stage voxel capacity. Overflow windows/voxels are dropped, mirroring
+    # the reference keep_mask policy (point_transformer_layer.py:86).
+    c.RUNTIME.WINDOW_BUCKET_FRACTIONS = [0.55, 0.55, 0.55, 0.55]
+    # Compute dtype for matmul-heavy paths ('float32' or 'bfloat16').
+    c.RUNTIME.COMPUTE_DTYPE = 'bfloat16'
+    # Number of data-parallel devices expected at train time (mesh size);
+    # 0 = use all visible devices.
+    c.RUNTIME.NUM_DEVICES = 0
+
+    return c
+
+
+def _merge_a_into_b(a: dict, b: ConfigDict, path: str = '') -> None:
+    """Strict merge: every key in `a` must already exist in `b` with a matching
+    type (mirrors reference _merge_a_into_b, seg3d/utils/config.py:90-117)."""
+    for k, v in a.items():
+        if k not in b:
+            raise KeyError(f'{path}{k} is not a valid config key')
+        old = b[k]
+        if isinstance(old, ConfigDict):
+            if not isinstance(v, dict):
+                raise ValueError(f'Type mismatch ({type(old)} vs {type(v)}) for config key: {path}{k}')
+            _merge_a_into_b(v, old, path=f'{path}{k}.')
+        else:
+            if old is not None and v is not None and not isinstance(old, type(v)):
+                # allow int -> float promotion, mirrors YAML-number looseness
+                if isinstance(old, float) and isinstance(v, int):
+                    v = float(v)
+                elif isinstance(old, np.ndarray):
+                    v = np.array(v, dtype=old.dtype)
+                else:
+                    raise ValueError(
+                        f'Type mismatch ({type(old)} vs. {type(v)}) for config key: {path}{k}')
+            b[k] = v
+
+
+def cfg_from_file(filename: str | None = None, overrides: dict | None = None) -> ConfigDict:
+    """Load a YAML config overlaid onto the defaults; returns a frozen config.
+
+    Same YAML schema as the reference (cfg_from_file, seg3d/utils/config.py:81-87)
+    but pure: no global state is mutated.
+    """
+    c = default_config()
+    if filename is not None:
+        with open(filename, 'r') as f:
+            yaml_cfg = yaml.safe_load(f)
+        if yaml_cfg:
+            _merge_a_into_b(yaml_cfg, c)
+    if overrides:
+        _merge_a_into_b(overrides, c)
+    return c.freeze()
+
+
+def grid_size(cfg: ConfigDict) -> tuple[int, int, int]:
+    """Integer (gx, gy, gz) voxel grid size from range/voxel-size (reference
+    VoxelGenerator.__init__, seg3d/core/voxel/voxel_generator.py:11-22)."""
+    rng = np.array(cfg.DATASET.POINT_CLOUD_RANGE, dtype=np.float32)
+    vs = np.array(cfg.DATASET.VOXEL_SIZE, dtype=np.float32)
+    gs = np.round((rng[3:] - rng[:3]) / vs).astype(np.int64)
+    return int(gs[0]), int(gs[1]), int(gs[2])

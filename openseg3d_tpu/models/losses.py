@@ -1,0 +1,149 @@
+"""Segmentation losses on padded flat logits.
+
+Parity targets: seg3d/models/losses/{ohem_cross_entropy_loss,lovasz_loss,
+dice_loss,focal_loss}.py. Every loss takes logits [N, C] and int labels [N]
+where ignore_index (255) marks both ignored ground truth and padded rows, so
+static-shape masking is uniform.
+
+The sort-heavy pieces (OHEM top-k, Lovasz) run inside the jitted step: invalid
+entries are pushed to the sort tail with sentinel values and contribute exactly
+zero, so padded buffers do not bias the losses (SURVEY.md §7.3 hard-part 5).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _valid(labels, ignore_index):
+    return (labels != ignore_index) & (labels >= 0)
+
+
+def cross_entropy(logits, labels, ignore_index: int = 255, class_weight=None):
+    """Per-element CE with ignore mask; returns (losses [N], valid [N])."""
+    valid = _valid(labels, ignore_index)
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+    if class_weight is not None:
+        w = jnp.asarray(class_weight, dtype=nll.dtype)[safe]
+        nll = nll * w
+    return jnp.where(valid, nll, 0.0), valid
+
+
+def ce_loss(logits, labels, ignore_index: int = 255, class_weight=None):
+    losses, valid = cross_entropy(logits, labels, ignore_index, class_weight)
+    return jnp.sum(losses) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def ohem_ce_loss(logits, labels, ignore_index: int = 255,
+                 keep_ratio: float | None = None, keep_thresh: float | None = None,
+                 class_weight=None):
+    """Online hard example mining CE (ohem_cross_entropy_loss.py:23-38).
+
+    keep_ratio: keep the top ratio*|valid| largest losses.
+    keep_thresh: keep elements whose target-class prob < thresh.
+    """
+    losses, valid = cross_entropy(logits, labels, ignore_index, class_weight)
+    if keep_ratio is not None:
+        n_valid = jnp.sum(valid)
+        kept_count = (n_valid.astype(jnp.float32) * keep_ratio).astype(jnp.int32)
+        sorted_losses = jnp.sort(jnp.where(valid, losses, -jnp.inf), descending=True)
+        keep = jnp.arange(losses.shape[0]) < kept_count
+        kept = jnp.where(keep, sorted_losses, 0.0)
+        return jnp.sum(kept) / jnp.maximum(kept_count, 1)
+    elif keep_thresh is not None:
+        safe = jnp.where(valid, labels, 0)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        p_t = jnp.take_along_axis(probs, safe[:, None], axis=-1)[:, 0]
+        keep = valid & (p_t < keep_thresh)
+        return jnp.sum(jnp.where(keep, losses, 0.0)) / jnp.maximum(jnp.sum(keep), 1)
+    return jnp.sum(losses) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def lovasz_softmax_loss(logits, labels, ignore_index: int = 255, class_weight=None):
+    """Multi-class Lovasz-Softmax over the flattened batch
+    (lovasz_loss.py:121-159 'present' classes, per_image=False)."""
+    valid = _valid(labels, ignore_index)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    num_classes = logits.shape[-1]
+    safe = jnp.where(valid, labels, 0)
+
+    def one_class(c):
+        fg = (safe == c) & valid
+        fgf = fg.astype(jnp.float32)
+        errors = jnp.abs(fgf - probs[:, c])
+        errors = jnp.where(valid, errors, -jnp.inf)      # invalid sort last
+        order = jnp.argsort(errors, descending=True)
+        errors_sorted = errors[order]
+        fg_sorted = fgf[order]
+        valid_sorted = valid[order].astype(jnp.float32)
+
+        gts = jnp.sum(fgf)
+        intersection = gts - jnp.cumsum(fg_sorted)
+        union = gts + jnp.cumsum(valid_sorted * (1.0 - fg_sorted))
+        jaccard = 1.0 - intersection / jnp.maximum(union, 1.0)
+        grad = jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+        loss_c = jnp.sum(jax.nn.relu(jnp.where(jnp.isfinite(errors_sorted),
+                                               errors_sorted, 0.0)) * grad)
+        present = (gts > 0).astype(jnp.float32)
+        return loss_c, present
+
+    losses, present = jax.vmap(one_class)(jnp.arange(num_classes))
+    if class_weight is not None:
+        losses = losses * jnp.asarray(class_weight, dtype=losses.dtype)
+    return jnp.sum(losses * present) / jnp.maximum(jnp.sum(present), 1.0)
+
+
+def dice_loss(logits, labels, ignore_index: int = 255, smooth: float = 1.0,
+              exponent: float = 2.0):
+    """Mean Dice over classes on softmax probs with one-hot targets
+    (dice_loss.py:8-43)."""
+    valid = _valid(labels, ignore_index)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    safe = jnp.where(valid, labels, 0)
+    onehot = jax.nn.one_hot(safe, logits.shape[-1], dtype=jnp.float32)
+    m = valid.astype(jnp.float32)[:, None]
+    num = 2.0 * jnp.sum(probs * onehot * m, axis=0) + smooth
+    den = jnp.sum((probs ** exponent + onehot ** exponent) * m, axis=0) + smooth
+    return jnp.mean(1.0 - num / den)
+
+
+def focal_loss(logits, labels, ignore_index: int = 255, gamma: float = 2.0,
+               alpha: float = 0.25):
+    """Sigmoid multi-label focal loss (focal_loss.py:51-92)."""
+    valid = _valid(labels, ignore_index)
+    safe = jnp.where(valid, labels, 0)
+    onehot = jax.nn.one_hot(safe, logits.shape[-1], dtype=jnp.float32)
+    x = logits.astype(jnp.float32)
+    p = jax.nn.sigmoid(x)
+    pt = p * onehot + (1 - p) * (1 - onehot)
+    at = alpha * onehot + (1 - alpha) * (1 - onehot)
+    bce = jnp.logaddexp(0.0, jnp.where(onehot > 0, -x, x))
+    loss = at * (1 - pt) ** gamma * bce
+    loss = jnp.sum(loss, axis=-1)
+    return jnp.sum(jnp.where(valid, loss, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def build_criterion(cfg, class_weight=None):
+    """List of (loss_fn, weight) mirroring build_criterion (builder.py:26-40);
+    supports the reference's 'ce'/'ohem_ce'/'lovasz' plus 'dice'/'focal'."""
+    ignore = cfg.DATASET.IGNORE_INDEX
+    out = []
+    for name, weight in cfg.MODEL.LOSSES.items():
+        if name == 'ce':
+            fn = lambda lg, lb: ce_loss(lg, lb, ignore)
+        elif name == 'ohem_ce':
+            thresh = cfg.MODEL.OHEM_KEEP_THRESH
+            fn = lambda lg, lb, _t=thresh: ohem_ce_loss(lg, lb, ignore, keep_thresh=_t)
+        elif name == 'lovasz':
+            fn = lambda lg, lb: lovasz_softmax_loss(lg, lb, ignore)
+        elif name == 'dice':
+            fn = lambda lg, lb: dice_loss(lg, lb, ignore)
+        elif name == 'focal':
+            fn = lambda lg, lb: focal_loss(lg, lb, ignore)
+        else:
+            raise NotImplementedError(f'loss {name!r}')
+        out.append((fn, float(weight)))
+    return out

@@ -1,0 +1,97 @@
+"""Segment reductions over ragged-with-mask arrays.
+
+TPU-native replacement for the reference's torch_scatter calls (vfe.py:25,
+se_layer.py:25, voxel_pooling.py:72) and the voxel_pooling CUDA extension
+(ops/voxel_pooling/src/voxel_pooling_cuda.cu): XLA segment ops are
+deterministic (no atomicAdd ordering) and differentiate automatically, so no
+custom backward is needed.
+
+Convention: segment id -1 means "unassigned" (out-of-range point or padding)
+and is excluded from every reduction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _clean_ids(ids, num_segments: int):
+    """Map invalid ids (<0 or >= num_segments) to a trash bucket."""
+    invalid = (ids < 0) | (ids >= num_segments)
+    return jnp.where(invalid, num_segments, ids), ~invalid
+
+
+def segment_sum(data, ids, num_segments: int):
+    ids, valid = _clean_ids(ids, num_segments)
+    shaped = valid.reshape(valid.shape + (1,) * (data.ndim - 1))
+    out = jax.ops.segment_sum(jnp.where(shaped, data, 0), ids,
+                              num_segments=num_segments + 1)
+    return out[:num_segments]
+
+
+def segment_count(ids, num_segments: int):
+    ids, valid = _clean_ids(ids, num_segments)
+    out = jax.ops.segment_sum(valid.astype(jnp.int32), ids,
+                              num_segments=num_segments + 1)
+    return out[:num_segments]
+
+
+def segment_mean(data, ids, num_segments: int):
+    s = segment_sum(data, ids, num_segments)
+    c = segment_count(ids, num_segments).astype(s.dtype)
+    c = c.reshape(c.shape + (1,) * (s.ndim - 1))
+    return s / jnp.maximum(c, 1)
+
+
+def segment_max(data, ids, num_segments: int):
+    ids, valid = _clean_ids(ids, num_segments)
+    neg = jnp.finfo(data.dtype).min if jnp.issubdtype(data.dtype, jnp.floating) \
+        else jnp.iinfo(data.dtype).min
+    shaped = valid.reshape(valid.shape + (1,) * (data.ndim - 1))
+    out = jax.ops.segment_max(jnp.where(shaped, data, neg), ids,
+                              num_segments=num_segments + 1)[:num_segments]
+    # empty segments -> 0 (torch_scatter 'max' leaves 0 for empty rows)
+    return jnp.where(out == neg, 0, out)
+
+
+def voxel_to_point(voxel_features, point_voxel_ids):
+    """Devoxelize: gather per-voxel features back to points
+    (reference seg3d/ops/voxel_pooling/voxel_pooling.py voxel_to_point usage /
+    segformer.py:114-116). id -1 -> zero features (the reference's torch
+    fancy-index would wrap to the last voxel; zeros are the principled choice
+    for unassigned points and we document the deviation)."""
+    safe = jnp.maximum(point_voxel_ids, 0)
+    g = voxel_features[safe]
+    return jnp.where((point_voxel_ids >= 0)[:, None], g, 0)
+
+
+def cummax(x, axis: int = 0):
+    return jax.lax.associative_scan(jnp.maximum, x, axis=axis)
+
+
+def inner_group_ranks(group_ids, valid=None):
+    """Deterministic rank-within-group (0-based) of each element.
+
+    Sort-based replacement of the atomic-counter CUDA kernel
+    `get_inner_win_inds` (ops/ingroup_inds/src/ingroup_inds_cuda.cu:12-25):
+    elements of the same group are ranked by their position in the flat array
+    (stable), so results are reproducible run to run — unlike the reference,
+    whose ranks are explicitly nondeterministic (SURVEY.md §5).
+
+    Invalid elements (valid=False) rank within a shared trash group; callers
+    mask them out.
+    """
+    n = group_ids.shape[0]
+    g = group_ids.astype(jnp.int64) if group_ids.dtype != jnp.int64 else group_ids
+    if valid is not None:
+        big = jnp.asarray(jnp.iinfo(jnp.int32).max, dtype=g.dtype)
+        g = jnp.where(valid, g, big)
+    order = jnp.argsort(g, stable=True)
+    sorted_g = g[order]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), sorted_g[1:] != sorted_g[:-1]])
+    run_start = cummax(jnp.where(is_start, pos, 0))
+    ranks_sorted = pos - run_start
+    ranks = jnp.zeros(n, dtype=jnp.int32).at[order].set(ranks_sorted)
+    return ranks

@@ -1,0 +1,257 @@
+"""Submanifold / strided / inverse sparse 3D convolution for TPU.
+
+TPU-native re-design of the spconv 2.x engine the reference leans on
+(seg3d/models/backbones/spconv_unet.py, pointtransformer.py; see SURVEY.md §2.1
+N5). No hash tables or atomics: the rulebook is built with sorts +
+binary search (``jnp.searchsorted``) over int32 linearized coordinates, and the
+convolution itself is gather + GEMM — each kernel offset contributes one
+[V, Cin] x [Cin, Cout] matmul that maps straight onto the MXU.
+
+Layout: everything is batched ``[B, V, ...]`` with per-sample capacity V and
+validity encoded as coords == -1. Rulebook construction is per-sample (vmapped),
+so under data-parallel SPMD no collective is ever needed for structure building.
+
+spconv semantic parity:
+  * SubMConv3d      -> build_subm_rulebook + apply_sparse_conv (output coords ==
+                       input coords, neighbor lookups within the same set)
+  * SparseConv3d    -> build_downsample (exact output set: every site whose
+                       receptive field touches an input, like spconv's
+                       get_indice_pairs) + apply_sparse_conv
+  * SparseInverseConv3d -> the inverse rulebook built alongside the downsample
+                       (indice_key reuse, seg3d/utils/spconv_utils.py:13-32):
+                       outputs are exactly the pre-downsample coords.
+
+Determinism: output voxel order after a downsample is sorted-key order (the
+reference inherits first-seen order from spconv's hash; order only affects
+which voxels drop on overflow, SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+INT32_SENTINEL = jnp.iinfo(jnp.int32).max
+
+
+@struct.dataclass
+class SparseTensor:
+    """Batched sparse voxel tensor. coords are (z, y, x) per sample; a row with
+    z == -1 is padding. spatial_shape is (gz, gy, gx) — the reference's
+    ``sparse_shape`` (grid reversed to zyx, spconv_unet.py:125)."""
+    features: jax.Array                       # [B, V, C]
+    coords: jax.Array                         # [B, V, 3] int32
+    spatial_shape: tuple = struct.field(pytree_node=False)
+
+    @property
+    def mask(self) -> jax.Array:              # [B, V]
+        return self.coords[..., 0] >= 0
+
+    @property
+    def batch_size(self) -> int:
+        return self.features.shape[0]
+
+    @property
+    def capacity(self) -> int:
+        return self.features.shape[1]
+
+    def replace_feature(self, new_features: jax.Array) -> "SparseTensor":
+        """Analog of spconv replace_feature (seg3d/utils/spconv_utils.py:4-10)."""
+        return self.replace(features=new_features)
+
+
+class Rulebook(NamedTuple):
+    """Gather-side rulebook: for each output slot and kernel offset, the input
+    slot that contributes (-1 = none). Shaped [B, K^3, V_out]."""
+    in_idx: jax.Array
+
+
+def kernel_offsets(kernel_size: int) -> jnp.ndarray:
+    """[K^3, 3] (dz, dy, dx) offsets, raster order."""
+    r = kernel_size
+    idx = jnp.arange(r ** 3)
+    dz = idx // (r * r)
+    dy = (idx // r) % r
+    dx = idx % r
+    return jnp.stack([dz, dy, dx], axis=1).astype(jnp.int32)
+
+
+def linearize(coords: jax.Array, spatial_shape: Sequence[int],
+              valid: jax.Array | None = None) -> jax.Array:
+    """coords [..., 3] (z,y,x) -> int32 linear keys; invalid -> sentinel.
+    Asserts the key space fits int32 (per-sample keys, so the bound is just
+    prod(grid) — 1440*1440*64 = 1.33e8 << 2^31)."""
+    gz, gy, gx = spatial_shape
+    if gz * gy * gx >= 2 ** 31:
+        raise ValueError(f'grid {spatial_shape} overflows int32 key space')
+    z, y, x = coords[..., 0], coords[..., 1], coords[..., 2]
+    key = (z * gy + y) * gx + x
+    in_range = (z >= 0) & (z < gz) & (y >= 0) & (y < gy) & (x >= 0) & (x < gx)
+    if valid is not None:
+        in_range = in_range & valid
+    return jnp.where(in_range, key, INT32_SENTINEL).astype(jnp.int32)
+
+
+def delinearize(keys: jax.Array, spatial_shape: Sequence[int]) -> jax.Array:
+    gz, gy, gx = spatial_shape
+    z = keys // (gy * gx)
+    rem = keys % (gy * gx)
+    valid = keys != INT32_SENTINEL
+    out = jnp.stack([z, rem // gx, rem % gx], axis=-1).astype(jnp.int32)
+    return jnp.where(valid[..., None], out, -1)
+
+
+def _sorted_lookup(sorted_keys: jax.Array, order: jax.Array, query: jax.Array) -> jax.Array:
+    """Binary-search `query` in `sorted_keys` (ascending, sentinel-padded);
+    return original row index via `order`, or -1 if absent."""
+    v = sorted_keys.shape[0]
+    pos = jnp.searchsorted(sorted_keys, query)
+    pos = jnp.minimum(pos, v - 1)
+    found = (sorted_keys[pos] == query) & (query != INT32_SENTINEL)
+    return jnp.where(found, order[pos], -1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Rulebook construction (single sample; vmapped wrappers below)
+# ---------------------------------------------------------------------------
+
+def _subm_rulebook_single(coords: jax.Array, spatial_shape, kernel_size: int) -> jax.Array:
+    """[V,3] zyx -> in_idx [K^3, V]; submanifold: outputs == inputs."""
+    keys = linearize(coords, spatial_shape, valid=coords[..., 0] >= 0)
+    order = jnp.argsort(keys).astype(jnp.int32)
+    sorted_keys = keys[order]
+    offs = kernel_offsets(kernel_size) - (kernel_size // 2)
+
+    def one_offset(off):
+        nb = coords + off[None, :]
+        nb_keys = linearize(nb, spatial_shape, valid=coords[..., 0] >= 0)
+        return _sorted_lookup(sorted_keys, order, nb_keys)
+
+    return jax.vmap(one_offset)(offs)  # [K^3, V]
+
+
+def _downsample_single(coords: jax.Array, spatial_shape, out_shape,
+                       kernel_size: int, stride: int, padding: int,
+                       out_capacity: int):
+    """Strided sparse conv structure for one sample.
+
+    Returns (out_coords [Vo,3], rule_in_idx [K^3,Vo], inv_in_idx [K^3,V],
+    num_out scalar). Output set = exact spconv semantics: all sites o with
+    o*s - p + off == some input, off in [0, K)^3.
+    """
+    valid = coords[..., 0] >= 0
+    k3 = kernel_size ** 3
+    offs = kernel_offsets(kernel_size)
+
+    # --- output candidate keys: (in + p - off) / s where divisible ---
+    def cand(off):
+        t = coords + padding - off[None, :]
+        div = jnp.all(t % stride == 0, axis=-1)
+        o = t // stride
+        return linearize(o, out_shape, valid=valid & div)
+
+    cand_keys = jax.vmap(cand)(offs).reshape(-1)           # [K^3 * V]
+    s = jnp.sort(cand_keys)
+    is_new = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]]) & (s != INT32_SENTINEL)
+    rank = jnp.cumsum(is_new) - 1
+    write = jnp.where(is_new & (rank < out_capacity), rank, out_capacity)
+    out_keys = jnp.full(out_capacity + 1, INT32_SENTINEL, dtype=jnp.int32) \
+        .at[write].set(jnp.where(is_new, s, INT32_SENTINEL), mode='drop')[:out_capacity]
+    # out_keys is sorted ascending with sentinel padding by construction
+    out_coords = delinearize(out_keys, out_shape)
+    num_out = jnp.sum(is_new).astype(jnp.int32)
+
+    # --- gather rulebook: for each output o and offset, input at o*s - p + off ---
+    in_keys = linearize(coords, spatial_shape, valid=valid)
+    in_order = jnp.argsort(in_keys).astype(jnp.int32)
+    in_sorted = in_keys[in_order]
+
+    def rule(off):
+        ic = out_coords * stride - padding + off[None, :]
+        ik = linearize(ic, spatial_shape, valid=out_coords[..., 0] >= 0)
+        return _sorted_lookup(in_sorted, in_order, ik)
+
+    rule_in_idx = jax.vmap(rule)(offs)                     # [K^3, Vo]
+
+    # --- inverse rulebook: fine voxel t gathers coarse c = (t + p - off)/s ---
+    out_order = jnp.arange(out_capacity, dtype=jnp.int32)  # already sorted
+
+    def inv(off):
+        t = coords + padding - off[None, :]
+        div = jnp.all(t % stride == 0, axis=-1)
+        c = t // stride
+        ck = linearize(c, out_shape, valid=valid & div)
+        return _sorted_lookup(out_keys, out_order, ck)
+
+    inv_in_idx = jax.vmap(inv)(offs)                       # [K^3, V]
+    return out_coords, rule_in_idx, inv_in_idx, num_out
+
+
+def build_subm_rulebook(st: SparseTensor, kernel_size: int = 3) -> Rulebook:
+    in_idx = jax.vmap(partial(_subm_rulebook_single, spatial_shape=st.spatial_shape,
+                              kernel_size=kernel_size))(st.coords)
+    return Rulebook(in_idx=in_idx)
+
+
+def downsample_shape(spatial_shape, kernel_size: int, stride: int, padding: int):
+    return tuple(int(math.floor((g + 2 * padding - kernel_size) / stride) + 1)
+                 for g in spatial_shape)
+
+
+class DownsamplePlan(NamedTuple):
+    """Everything the paired SparseConv3d / SparseInverseConv3d need
+    (= spconv's cached indice pairs for one indice_key)."""
+    out_coords: jax.Array     # [B, Vo, 3]
+    rule: Rulebook            # [B, K^3, Vo] into fine level
+    inv_rule: Rulebook        # [B, K^3, V]  into coarse level
+    out_shape: tuple
+    num_out: jax.Array        # [B] true number of outputs (pre-capacity-drop)
+
+
+def build_downsample(st: SparseTensor, out_capacity: int, kernel_size: int = 3,
+                     stride: int = 2, padding: int = 1) -> DownsamplePlan:
+    out_shape = downsample_shape(st.spatial_shape, kernel_size, stride, padding)
+    f = partial(_downsample_single, spatial_shape=st.spatial_shape,
+                out_shape=out_shape, kernel_size=kernel_size, stride=stride,
+                padding=padding, out_capacity=out_capacity)
+    out_coords, rule_in_idx, inv_in_idx, num_out = jax.vmap(f)(st.coords)
+    return DownsamplePlan(out_coords=out_coords, rule=Rulebook(rule_in_idx),
+                          inv_rule=Rulebook(inv_in_idx), out_shape=out_shape,
+                          num_out=num_out)
+
+
+# ---------------------------------------------------------------------------
+# Convolution execution: gather + GEMM per kernel offset
+# ---------------------------------------------------------------------------
+
+def apply_sparse_conv(features: jax.Array, rulebook: Rulebook, weights: jax.Array,
+                      out_mask: jax.Array, compute_dtype=None) -> jax.Array:
+    """features [B, V, Cin], rulebook.in_idx [B, K^3, Vo], weights [K^3, Cin, Cout]
+    -> [B, Vo, Cout]. Each offset is one batched GEMM on the MXU; gathers of
+    missing neighbors contribute zeros."""
+    in_idx = rulebook.in_idx
+    k3 = in_idx.shape[1]
+    cout = weights.shape[-1]
+    b, vo = in_idx.shape[0], in_idx.shape[2]
+
+    x = features
+    w = weights
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+
+    acc = jnp.zeros((b, vo, cout), dtype=jnp.float32)
+    for k in range(k3):
+        idx = in_idx[:, k, :]                                  # [B, Vo]
+        g = jnp.take_along_axis(x, jnp.maximum(idx, 0)[..., None], axis=1)
+        g = jnp.where((idx >= 0)[..., None], g, 0)
+        acc = acc + jax.lax.dot_general(
+            g, w[k], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out = acc.astype(features.dtype)
+    return jnp.where(out_mask[..., None], out, 0)

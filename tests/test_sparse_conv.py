@@ -1,0 +1,168 @@
+"""Sparse conv engine vs. dense lax.conv oracle.
+
+Strategy (SURVEY.md §4): build a dense grid from the sparse voxels, run
+jax.lax.conv_general_dilated, and compare values at output voxel positions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from functools import partial
+
+from openseg3d_tpu.ops.sparse_conv import (
+    SparseTensor, build_subm_rulebook, build_downsample, apply_sparse_conv,
+    downsample_shape)
+
+# jit everything: eager mode compiles each tiny op separately (slow on CPU);
+# in production these always run inside the jitted train step.
+build_subm_rulebook = jax.jit(build_subm_rulebook, static_argnums=1)
+build_downsample = jax.jit(build_downsample, static_argnums=(1, 2, 3, 4))
+apply_sparse_conv = jax.jit(apply_sparse_conv)
+
+
+def make_sparse(rng, b, v_cap, n_active, shape, c):
+    coords = np.full((b, v_cap, 3), -1, dtype=np.int32)
+    feats = np.zeros((b, v_cap, c), dtype=np.float32)
+    for i in range(b):
+        # unique random sites
+        total = shape[0] * shape[1] * shape[2]
+        lin = rng.choice(total, size=n_active, replace=False)
+        z = lin // (shape[1] * shape[2])
+        y = (lin // shape[2]) % shape[1]
+        x = lin % shape[2]
+        coords[i, :n_active] = np.stack([z, y, x], 1)
+        feats[i, :n_active] = rng.randn(n_active, c).astype(np.float32)
+    return SparseTensor(features=jnp.array(feats), coords=jnp.array(coords),
+                        spatial_shape=shape)
+
+
+def to_dense(st):
+    b, v, c = st.features.shape
+    gz, gy, gx = st.spatial_shape
+    dense = np.zeros((b, gz, gy, gx, c), np.float32)
+    coords = np.array(st.coords)
+    feats = np.array(st.features)
+    for i in range(b):
+        for j in range(v):
+            z, y, x = coords[i, j]
+            if z >= 0:
+                dense[i, z, y, x] = feats[i, j]
+    return dense
+
+
+def dense_conv(dense, w, stride, padding):
+    # dense [B, Z, Y, X, C]; w [K^3, Cin, Cout] in raster (dz,dy,dx) order
+    k = round(len(w) ** (1 / 3))
+    wk = np.array(w).reshape(k, k, k, w.shape[1], w.shape[2])
+    out = jax.lax.conv_general_dilated(
+        jnp.array(dense), jnp.array(wk),
+        window_strides=(stride,) * 3,
+        padding=[(padding, padding)] * 3,
+        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
+    return np.array(out)
+
+
+@pytest.mark.parametrize('seed', [0, 1])
+def test_subm_conv_matches_dense(seed):
+    rng = np.random.RandomState(seed)
+    shape, cin, cout = (6, 7, 8), 5, 4
+    st = make_sparse(rng, b=2, v_cap=40, n_active=30, shape=shape, c=cin)
+    w = rng.randn(27, cin, cout).astype(np.float32)
+
+    rb = build_subm_rulebook(st, kernel_size=3)
+    out = apply_sparse_conv(st.features, rb, jnp.array(w), st.mask)
+
+    dense_out = dense_conv(to_dense(st), w, stride=1, padding=1)
+    coords = np.array(st.coords)
+    for i in range(2):
+        for j in range(40):
+            z, y, x = coords[i, j]
+            if z >= 0:
+                np.testing.assert_allclose(np.array(out[i, j]), dense_out[i, z, y, x],
+                                           rtol=1e-4, atol=1e-4)
+            else:
+                np.testing.assert_array_equal(np.array(out[i, j]), 0)
+
+
+def test_downsample_output_set_and_values():
+    rng = np.random.RandomState(2)
+    shape, cin, cout = (8, 8, 8), 3, 6
+    st = make_sparse(rng, b=2, v_cap=50, n_active=35, shape=shape, c=cin)
+    w = rng.randn(27, cin, cout).astype(np.float32)
+
+    plan = build_downsample(st, out_capacity=64, kernel_size=3, stride=2, padding=1)
+    assert plan.out_shape == downsample_shape(shape, 3, 2, 1) == (4, 4, 4)
+    out = apply_sparse_conv(st.features, plan.rule, jnp.array(w),
+                            plan.out_coords[..., 0] >= 0)
+
+    dense_out = dense_conv(to_dense(st), w, stride=2, padding=1)
+
+    # exact spconv output set: sites where the conv over the dense grid is
+    # structurally reachable from an active input
+    dense_in = to_dense(st)
+    occ = (np.abs(dense_in).sum(-1) > 0)
+    coords = np.array(plan.out_coords)
+    for i in range(2):
+        active_out = set()
+        zz, yy, xx = np.nonzero(occ[i])
+        for z, y, x in zip(zz, yy, xx):
+            for dz in range(3):
+                for dy in range(3):
+                    for dx in range(3):
+                        t = (z + 1 - dz, y + 1 - dy, x + 1 - dx)
+                        if all(c % 2 == 0 for c in t):
+                            o = tuple(c // 2 for c in t)
+                            if all(0 <= o[d] < 4 for d in range(3)):
+                                active_out.add(o)
+        got = {tuple(c) for c in coords[i] if c[0] >= 0}
+        assert got == active_out
+        for j, c in enumerate(coords[i]):
+            if c[0] >= 0:
+                np.testing.assert_allclose(np.array(out[i, j]), dense_out[i, c[0], c[1], c[2]],
+                                           rtol=1e-4, atol=1e-4)
+
+
+def test_inverse_rulebook_round_trip():
+    """Inverse conv with identity-ish weights gathers coarse features back to
+    every fine voxel whose receptive field is covered."""
+    rng = np.random.RandomState(3)
+    shape, c = (8, 8, 8), 4
+    st = make_sparse(rng, b=1, v_cap=30, n_active=20, shape=shape, c=c)
+    plan = build_downsample(st, out_capacity=40)
+
+    coarse_feats = jnp.array(rng.randn(1, 40, c).astype(np.float32))
+    coarse_feats = jnp.where((plan.out_coords[..., 0] >= 0)[..., None], coarse_feats, 0)
+
+    # weights: only the offset matching each pair passes features through; sum
+    # over offsets of identity weights = sum of contributing coarse neighbors
+    w = np.stack([np.eye(c, dtype=np.float32)] * 27)
+    out = apply_sparse_conv(coarse_feats, plan.inv_rule, jnp.array(w), st.mask)
+
+    # oracle: for each fine voxel, sum coarse features at (t + 1 - off)/2
+    coords = np.array(st.coords[0])
+    ckey = {tuple(c): j for j, c in enumerate(np.array(plan.out_coords[0])) if c[0] >= 0}
+    cf = np.array(coarse_feats[0])
+    for j, t in enumerate(coords):
+        if t[0] < 0:
+            continue
+        acc = np.zeros(c, np.float32)
+        for dz in range(3):
+            for dy in range(3):
+                for dx in range(3):
+                    p = (t[0] + 1 - dz, t[1] + 1 - dy, t[2] + 1 - dx)
+                    if all(v % 2 == 0 for v in p):
+                        o = tuple(v // 2 for v in p)
+                        if o in ckey:
+                            acc += cf[ckey[o]]
+        np.testing.assert_allclose(np.array(out[0, j]), acc, rtol=1e-4, atol=1e-4)
+
+
+def test_capacity_overflow_drops_and_counts():
+    rng = np.random.RandomState(4)
+    st = make_sparse(rng, b=1, v_cap=64, n_active=60, shape=(8, 8, 8), c=2)
+    plan = build_downsample(st, out_capacity=8)
+    n_valid = int((np.array(plan.out_coords)[0, :, 0] >= 0).sum())
+    assert n_valid == 8
+    assert int(plan.num_out[0]) >= 8  # true count reported for drop logging

@@ -230,14 +230,21 @@ def build_downsample(st: SparseTensor, out_capacity: int, kernel_size: int = 3,
 # ---------------------------------------------------------------------------
 
 def apply_sparse_conv(features: jax.Array, rulebook: Rulebook, weights: jax.Array,
-                      out_mask: jax.Array, compute_dtype=None) -> jax.Array:
+                      out_mask: jax.Array, compute_dtype=None,
+                      offset_group: int = 9) -> jax.Array:
     """features [B, V, Cin], rulebook.in_idx [B, K^3, Vo], weights [K^3, Cin, Cout]
-    -> [B, Vo, Cout]. Each offset is one batched GEMM on the MXU; gathers of
-    missing neighbors contribute zeros."""
+    -> [B, Vo, Cout].
+
+    Kernel offsets are processed in groups of `offset_group` under a lax.scan:
+    each step is ONE batched gather [B, G, Vo, Cin] + ONE dot_general
+    contracting (G, Cin) — a large MXU GEMM. Scanning (vs. fully unrolling 27
+    gather+matmul pairs) keeps the XLA graph small enough to compile fast while
+    keeping per-step arithmetic intensity high; missing neighbors contribute
+    zeros."""
     in_idx = rulebook.in_idx
-    k3 = in_idx.shape[1]
+    b, k3, vo = in_idx.shape
+    cin = features.shape[-1]
     cout = weights.shape[-1]
-    b, vo = in_idx.shape[0], in_idx.shape[2]
 
     x = features
     w = weights
@@ -245,13 +252,29 @@ def apply_sparse_conv(features: jax.Array, rulebook: Rulebook, weights: jax.Arra
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
 
-    acc = jnp.zeros((b, vo, cout), dtype=jnp.float32)
-    for k in range(k3):
-        idx = in_idx[:, k, :]                                  # [B, Vo]
-        g = jnp.take_along_axis(x, jnp.maximum(idx, 0)[..., None], axis=1)
+    g_sz = min(offset_group, k3)
+    pad = (-k3) % g_sz
+    if pad:
+        in_idx = jnp.concatenate(
+            [in_idx, jnp.full((b, pad, vo), -1, in_idx.dtype)], axis=1)
+        w = jnp.concatenate([w, jnp.zeros((pad, cin, cout), w.dtype)], axis=0)
+    n_groups = (k3 + pad) // g_sz
+    idx_groups = in_idx.reshape(b, n_groups, g_sz, vo).transpose(1, 0, 2, 3)
+    w_groups = w.reshape(n_groups, g_sz, cin, cout)
+
+    def body(acc, inputs):
+        idx, wg = inputs                                       # [B,G,Vo], [G,Cin,Cout]
+        flat = jnp.maximum(idx, 0).reshape(b, g_sz * vo)
+        g = jnp.take_along_axis(x, flat[..., None], axis=1)
+        g = g.reshape(b, g_sz, vo, cin)
         g = jnp.where((idx >= 0)[..., None], g, 0)
-        acc = acc + jax.lax.dot_general(
-            g, w[k], dimension_numbers=(((2,), (0,)), ((), ())),
+        # contract over (G, Cin): [B,G,Vo,Cin] x [G,Cin,Cout] -> [B,Vo,Cout]
+        part = jax.lax.dot_general(
+            g, wg, dimension_numbers=(((1, 3), (0, 1)), ((), ())),
             preferred_element_type=jnp.float32)
+        return acc + part, None
+
+    acc = jnp.zeros((b, vo, cout), dtype=jnp.float32)
+    acc, _ = jax.lax.scan(body, acc, (idx_groups, w_groups))
     out = acc.astype(features.dtype)
     return jnp.where(out_mask[..., None], out, 0)

@@ -1,0 +1,244 @@
+"""Sparse window partition + region batching (SST/SWFormer machinery).
+
+TPU-native redesign of the reference's window pipeline
+(SparseWindowPartitionLayer, seg3d/models/layers/point_transformer_layer.py:11-220
++ seg3d/utils/swformer_utils.py):
+
+  1. assign every voxel a window id for shift-0 and half-window shift-1
+     (get_window_coors parity, swformer_utils.py:109-154);
+  2. bucket windows by occupancy into 4 levels with per-level max_tokens and
+     drop overflow voxels (batching_single_shift, keep both shifts' drops —
+     point_transformer_layer.py:71-139);
+  3. build flat<->window scatter indices per level (get_flat2win_inds,
+     swformer_utils.py:8-31).
+
+Differences forced by static shapes: the per-level window count is capped at a
+configured capacity (windows beyond it drop their voxels, logged via
+`num_windows`), and in-window token order is the deterministic sort rank
+instead of the reference's atomic-counter order (SURVEY.md §5, §7.3).
+
+Everything here is per-sample and vmapped by callers; one argsort per
+(shift, level) provides window ranks and in-window ranks simultaneously.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .scatter import cummax
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+class LevelSpec(NamedTuple):
+    max_tokens: int      # T_l
+    lower: int           # occupancy range [lower, upper)
+    upper: int
+    num_windows: int     # static window capacity W_l
+
+
+class ShiftPartition(NamedTuple):
+    """Per-shift result. All arrays [B, V] unless noted."""
+    scatter_idx: tuple     # per level: [B, V] slot into W_l*T_l, -1 elsewhere
+    level: jax.Array       # [B, V] bucket level, -1 for dropped/invalid
+    coors_in_win: jax.Array  # [B, V, 3] (z, y, x) position inside the window
+    num_windows: jax.Array   # [B, L] true distinct windows per level (pre-cap)
+
+
+class WindowPartition(NamedTuple):
+    """Pure-array pytree (LevelSpecs stay OUTSIDE so they remain static across
+    jit/remat boundaries)."""
+    shifts: tuple          # (ShiftPartition, ShiftPartition)
+    keep: jax.Array        # [B, V] final keep mask (both shifts' caps)
+
+
+def make_level_specs(batching_info, voxel_capacity: int, fraction: float) -> tuple:
+    """Static per-level window capacities: each bucket may hold up to
+    `fraction * voxel_capacity` tokens."""
+    specs = []
+    for _, (max_tokens, lower, upper) in batching_info:
+        w = max(1, int(math.ceil(fraction * voxel_capacity / max_tokens)))
+        specs.append(LevelSpec(max_tokens, lower, upper, w))
+    return tuple(specs)
+
+
+def window_coords(coords, valid, sparse_shape, window_shape, do_shift: bool):
+    """Per-voxel window id + in-window coords (swformer_utils.py:109-154).
+    coords [V,3] zyx; sparse_shape (gz,gy,gx); window_shape (wx,wy,wz)."""
+    gz, gy, gx = sparse_shape
+    wx, wy, wz = window_shape
+    if gz == wz:
+        sz = 0
+    else:
+        sz = wz // 2 if do_shift else 0
+    sx = wx // 2 if do_shift else 0
+    sy = wy // 2 if do_shift else 0
+
+    z = coords[..., 0] + sz
+    y = coords[..., 1] + sy
+    x = coords[..., 2] + sx
+    nwx = int(math.ceil(gx / wx)) + 1
+    nwy = int(math.ceil(gy / wy)) + 1
+    nwz = int(math.ceil(gz / wz)) + 1
+    win = (x // wx) * (nwy * nwz) + (y // wy) * nwz + (z // wz)
+    win = jnp.where(valid, win, INT32_MAX).astype(jnp.int32)
+    ciw = jnp.stack([z % wz, y % wy, x % wx], axis=-1).astype(jnp.int32)
+    return win, ciw, nwx * nwy * nwz
+
+
+def _occupancy(win_id, valid, num_win_total: int):
+    cnt = jnp.zeros(num_win_total + 1, jnp.int32).at[
+        jnp.where(valid, win_id, num_win_total)].add(1, mode='drop')
+    return jnp.where(valid, cnt[jnp.minimum(win_id, num_win_total - 1)], 0)
+
+
+def _bucket_level(occ, valid, levels: Sequence[LevelSpec]):
+    lvl = jnp.full(occ.shape, -1, jnp.int32)
+    cap = jnp.zeros(occ.shape, jnp.int32)
+    for i, s in enumerate(levels):
+        m = valid & (occ >= s.lower) & (occ < s.upper)
+        lvl = jnp.where(m, i, lvl)
+        cap = jnp.where(m, s.max_tokens, cap)
+    return lvl, cap
+
+
+def _ranks_and_window_index(win_id, mask):
+    """One argsort -> (inner rank within window, dense window rank) over the
+    masked set. Masked-out voxels get rank 0/-1."""
+    v = win_id.shape[0]
+    key = jnp.where(mask, win_id, INT32_MAX)
+    order = jnp.argsort(key, stable=True)
+    sk = key[order]
+    pos = jnp.arange(v, dtype=jnp.int32)
+    is_new = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]]) & (sk != INT32_MAX)
+    run_start = cummax(jnp.where(is_new, pos, 0))
+    inner_sorted = pos - run_start
+    wrank_sorted = jnp.cumsum(is_new) - 1
+    inner = jnp.zeros(v, jnp.int32).at[order].set(inner_sorted)
+    wrank = jnp.full(v, -1, jnp.int32).at[order].set(
+        jnp.where(sk != INT32_MAX, wrank_sorted, -1))
+    n_windows = jnp.sum(is_new).astype(jnp.int32)
+    return inner, wrank, n_windows
+
+
+def _single_shift_keep(win_id, valid, num_win_total, levels):
+    """batching_single_shift (point_transformer_layer.py:71-87): keep_mask +
+    level per voxel."""
+    occ = _occupancy(win_id, valid, num_win_total)
+    lvl, cap = _bucket_level(occ, valid, levels)
+    inner, _, _ = _ranks_and_window_index(win_id, valid)
+    keep = valid & (inner < cap)
+    return keep, lvl
+
+
+def _shift_partition(win_id, ciw, final, lvl, levels):
+    """Build per-level scatter indices over the final kept set."""
+    scatter_idx = []
+    num_windows = []
+    for li, s in enumerate(levels):
+        m = final & (lvl == li)
+        inner, wrank, n_win = _ranks_and_window_index(win_id, m)
+        ok = m & (wrank >= 0) & (wrank < s.num_windows) & (inner < s.max_tokens)
+        idx = jnp.where(ok, wrank * s.max_tokens + inner, -1)
+        scatter_idx.append(idx.astype(jnp.int32))
+        num_windows.append(n_win)
+    return tuple(scatter_idx), jnp.stack(num_windows)
+
+
+def build_window_partition(coords, valid, sparse_shape, window_shape,
+                           levels: Sequence[LevelSpec]):
+    """Single-sample full dual-shift partition (vmap over batch upstream).
+
+    Mirrors batching_voxel (point_transformer_layer.py:89-139): shift-0 caps
+    drop first, shift-1 caps drop from the survivors, and both shifts' final
+    indices are built over the surviving set.
+    """
+    win0, ciw0, ntot = window_coords(coords, valid, sparse_shape, window_shape, False)
+    win1, ciw1, _ = window_coords(coords, valid, sparse_shape, window_shape, True)
+
+    keep0, lvl0 = _single_shift_keep(win0, valid, ntot, levels)
+    keep1, lvl1 = _single_shift_keep(win1, keep0, ntot, levels)
+    final = keep1  # keep1 already includes keep0
+
+    s0_idx, s0_nw = _shift_partition(win0, ciw0, final, lvl0, levels)
+    s1_idx, s1_nw = _shift_partition(win1, ciw1, final, lvl1, levels)
+
+    shift0 = ShiftPartition(scatter_idx=s0_idx, level=jnp.where(final, lvl0, -1),
+                            coors_in_win=ciw0, num_windows=s0_nw)
+    shift1 = ShiftPartition(scatter_idx=s1_idx, level=jnp.where(final, lvl1, -1),
+                            coors_in_win=ciw1, num_windows=s1_nw)
+    return WindowPartition(shifts=(shift0, shift1), keep=final)
+
+
+def batched_window_partition(coords, valid, sparse_shape, window_shape, levels):
+    f = lambda c, v: build_window_partition(c, v, sparse_shape, window_shape, levels)
+    return jax.vmap(f)(coords, valid)
+
+
+# ---------------------------------------------------------------------------
+# flat <-> window scatter/gather (flat2window/window2flat, swformer_utils.py:34-105)
+# ---------------------------------------------------------------------------
+
+def flat_to_window(feat, scatter_idx, spec: LevelSpec):
+    """feat [B, V, C], scatter_idx [B, V] -> [B, W, T, C] (zeros elsewhere)."""
+    b, v, c = feat.shape
+    size = spec.num_windows * spec.max_tokens
+    tgt = jnp.where(scatter_idx >= 0, scatter_idx, size)
+    out = jnp.zeros((b, size + 1, c), feat.dtype)
+    out = jax.vmap(lambda o, t, f: o.at[t].set(f, mode='drop'))(out, tgt, feat)
+    return out[:, :size].reshape(b, spec.num_windows, spec.max_tokens, c)
+
+
+def window_mask(scatter_idx, spec: LevelSpec):
+    """[B, W, T] bool: which slots hold a real voxel."""
+    b, v = scatter_idx.shape
+    size = spec.num_windows * spec.max_tokens
+    tgt = jnp.where(scatter_idx >= 0, scatter_idx, size)
+    out = jnp.zeros((b, size + 1), bool)
+    out = jax.vmap(lambda o, t: o.at[t].set(True, mode='drop'))(out, tgt)
+    return out[:, :size].reshape(b, spec.num_windows, spec.max_tokens)
+
+
+def window_to_flat(win_feat, scatter_idx, spec: LevelSpec):
+    """[B, W, T, C] -> [B, V, C], zero where scatter_idx == -1."""
+    b = win_feat.shape[0]
+    c = win_feat.shape[-1]
+    flat = win_feat.reshape(b, spec.num_windows * spec.max_tokens, c)
+    safe = jnp.maximum(scatter_idx, 0)
+    g = jnp.take_along_axis(flat, safe[..., None], axis=1)
+    return jnp.where((scatter_idx >= 0)[..., None], g, 0)
+
+
+def positional_embedding(coors_in_win, window_shape, feat_dim: int,
+                         pos_temperature: float = 1000.0, normalize_pos: bool = False):
+    """Sine/cosine in-window embedding (get_pos_embed,
+    point_transformer_layer.py:151-207). coors_in_win [..., 3] (z,y,x)."""
+    wx, wy, wz = window_shape
+    ndim = 2 if wz in (0, 1) else 3
+    z = coors_in_win[..., 0].astype(jnp.float32) - wz / 2
+    y = coors_in_win[..., 1].astype(jnp.float32) - wy / 2
+    x = coors_in_win[..., 2].astype(jnp.float32) - wx / 2
+    if normalize_pos:
+        x = x / wx * 2 * math.pi
+        y = y / wy * 2 * math.pi
+        z = z / wz * 2 * math.pi
+
+    pos_length = feat_dim // ndim
+    i = jnp.arange(pos_length, dtype=jnp.float32)
+    inv_freq = pos_temperature ** (2 * jnp.floor(i / 2) / pos_length)
+
+    def embed(u):
+        e = u[..., None] / inv_freq          # [..., pos_length]
+        return jnp.stack([jnp.sin(e[..., 0::2]), jnp.cos(e[..., 1::2])],
+                         axis=-1).reshape(u.shape + (pos_length // 2 * 2,))
+
+    parts = [embed(x), embed(y)] + ([embed(z)] if ndim == 3 else [])
+    pe = jnp.concatenate(parts, axis=-1)
+    pad = feat_dim - pe.shape[-1]
+    if pad:
+        pe = jnp.concatenate([pe, jnp.zeros(pe.shape[:-1] + (pad,), pe.dtype)], axis=-1)
+    return pe

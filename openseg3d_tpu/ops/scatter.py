@@ -93,5 +93,5 @@ def inner_group_ranks(group_ids, valid=None):
     is_start = jnp.concatenate([jnp.ones((1,), bool), sorted_g[1:] != sorted_g[:-1]])
     run_start = cummax(jnp.where(is_start, pos, 0))
     ranks_sorted = pos - run_start
-    ranks = jnp.zeros(n, dtype=jnp.int32).at[order].set(ranks_sorted)
+    ranks = jnp.zeros(n, dtype=jnp.int32).at[order].set(ranks_sorted, unique_indices=True)
     return ranks

@@ -106,14 +106,40 @@ def delinearize(keys: jax.Array, spatial_shape: Sequence[int]) -> jax.Array:
     return jnp.where(valid[..., None], out, -1)
 
 
-def _sorted_lookup(sorted_keys: jax.Array, order: jax.Array, query: jax.Array) -> jax.Array:
-    """Binary-search `query` in `sorted_keys` (ascending, sentinel-padded);
-    return original row index via `order`, or -1 if absent."""
-    v = sorted_keys.shape[0]
-    pos = jnp.searchsorted(sorted_keys, query)
-    pos = jnp.minimum(pos, v - 1)
-    found = (sorted_keys[pos] == query) & (query != INT32_SENTINEL)
-    return jnp.where(found, order[pos], -1).astype(jnp.int32)
+def sort_match(keys: jax.Array, queries: jax.Array) -> jax.Array:
+    """For each query, the index of the matching entry in `keys` (-1 if absent).
+
+    One tagged merge-sort: keys become even values (2k), queries odd (2k+1),
+    one variadic sort ranks them together, and each query matches the nearest
+    preceding key entry. This replaces binary search (serialized on TPU) and
+    jnp.searchsorted(method='sort') (several internal sorts) with exactly ONE
+    sort over |keys|+|queries| elements — the hash-table probe of spconv's
+    rulebook builder, recast as a sort (SURVEY.md §2.1 N5 mapping).
+
+    Sentinel (INT32_SENTINEL) keys/queries never match.
+    """
+    nk, nq = keys.shape[0], queries.shape[0]
+    n = nk + nq
+    # 2k / 2k+1 tagging; sentinels stay INT32_MAX (wrapped doubles discarded)
+    kv = jnp.where(keys == INT32_SENTINEL, INT32_SENTINEL, keys * 2)
+    qv = jnp.where(queries == INT32_SENTINEL, INT32_SENTINEL, queries * 2 + 1)
+    vals = jnp.concatenate([kv, qv])
+    pay = jnp.concatenate([jnp.arange(nk, dtype=jnp.int32),
+                           nk + jnp.arange(nq, dtype=jnp.int32)])
+    sv, sp = jax.lax.sort([vals, pay], num_keys=1)
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    is_key = ((sv & 1) == 0) & (sv != INT32_SENTINEL)
+    last_key_pos = jax.lax.associative_scan(jnp.maximum, jnp.where(is_key, pos, -1))
+    lk = jnp.maximum(last_key_pos, 0)
+    match = (last_key_pos >= 0) & ((sv >> 1) == (sv[lk] >> 1)) & (sv != INT32_SENTINEL)
+    key_row = sp[lk]                       # original index into `keys`
+    # scatter results back to query positions (payload >= nk marks queries)
+    is_query = sp >= nk
+    tgt = jnp.where(is_query, sp - nk, nq)     # OOB drop for key entries
+    res = jnp.where(match & is_query, key_row, -1)
+    return jnp.full(nq, -1, jnp.int32).at[tgt].set(res, mode='drop',
+                                                   unique_indices=True)
 
 
 # ---------------------------------------------------------------------------
@@ -121,18 +147,34 @@ def _sorted_lookup(sorted_keys: jax.Array, order: jax.Array, query: jax.Array) -
 # ---------------------------------------------------------------------------
 
 def _subm_rulebook_single(coords: jax.Array, spatial_shape, kernel_size: int) -> jax.Array:
-    """[V,3] zyx -> in_idx [K^3, V]; submanifold: outputs == inputs."""
-    keys = linearize(coords, spatial_shape, valid=coords[..., 0] >= 0)
-    order = jnp.argsort(keys).astype(jnp.int32)
-    sorted_keys = keys[order]
+    """[V,3] zyx -> in_idx [K^3, V]; submanifold: outputs == inputs.
+
+    Only the (K^3-1)/2 offsets below the center are searched (one tagged
+    merge-sort, sort_match); the center is the identity and each mirror offset
+    is the inverse bijection of its partner, recovered with one scatter —
+    halving the dominant sort (spconv builds subm rulebooks with the same
+    symmetry)."""
+    valid = coords[..., 0] >= 0
+    v = coords.shape[0]
+    keys = linearize(coords, spatial_shape, valid=valid)
     offs = kernel_offsets(kernel_size) - (kernel_size // 2)
+    k3 = offs.shape[0]
+    half = k3 // 2
 
-    def one_offset(off):
-        nb = coords + off[None, :]
-        nb_keys = linearize(nb, spatial_shape, valid=coords[..., 0] >= 0)
-        return _sorted_lookup(sorted_keys, order, nb_keys)
+    nb = coords[None, :, :] + offs[:half, None, :]           # [half, V, 3]
+    nb_keys = linearize(nb, spatial_shape, valid=valid[None, :])
+    lower = sort_match(keys, nb_keys.reshape(-1)).reshape(half, v)
 
-    return jax.vmap(one_offset)(offs)  # [K^3, V]
+    center = jnp.where(valid, jnp.arange(v, dtype=jnp.int32), -1)[None]
+
+    # mirror offset K^3-1-k: in_idx[m][u] = v  <=>  in_idx[k][v] = u
+    rows = jnp.broadcast_to(jnp.arange(half, dtype=jnp.int32)[:, None], (half, v))
+    src = jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32)[None, :], (half, v))
+    tgt = jnp.where(lower >= 0, rows * v + lower, half * v)  # OOB drop
+    mirror = jnp.full(half * v, -1, jnp.int32) \
+        .at[tgt.reshape(-1)].set(src.reshape(-1), mode='drop',
+                                 unique_indices=True).reshape(half, v)
+    return jnp.concatenate([lower, center, mirror[::-1]], axis=0)
 
 
 def _downsample_single(coords: jax.Array, spatial_shape, out_shape,
@@ -145,50 +187,44 @@ def _downsample_single(coords: jax.Array, spatial_shape, out_shape,
     o*s - p + off == some input, off in [0, K)^3.
     """
     valid = coords[..., 0] >= 0
+    v = coords.shape[0]
     k3 = kernel_size ** 3
     offs = kernel_offsets(kernel_size)
 
-    # --- output candidate keys: (in + p - off) / s where divisible ---
-    def cand(off):
-        t = coords + padding - off[None, :]
-        div = jnp.all(t % stride == 0, axis=-1)
-        o = t // stride
-        return linearize(o, out_shape, valid=valid & div)
+    # --- output candidates: pair (out cell, contributing input, offset) for
+    # every (input, offset) with (in + p - off) % s == 0. ONE sort of these
+    # pairs yields the unique output set AND both rulebooks — no searches.
+    t = coords[None] + padding - offs[:, None, :]          # [K^3, V, 3]
+    div = jnp.all(t % stride == 0, axis=-1)
+    cand_keys = linearize(t // stride, out_shape, valid=valid[None] & div)
+    flat_keys = cand_keys.reshape(-1)                      # [K^3 * V]
+    payload = jnp.arange(k3 * v, dtype=jnp.int32)          # encodes (k, v)
+    s, sp = jax.lax.sort([flat_keys, payload], num_keys=1)
 
-    cand_keys = jax.vmap(cand)(offs).reshape(-1)           # [K^3 * V]
-    s = jnp.sort(cand_keys)
     is_new = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]]) & (s != INT32_SENTINEL)
-    rank = jnp.cumsum(is_new) - 1
-    write = jnp.where(is_new & (rank < out_capacity), rank, out_capacity)
-    out_keys = jnp.full(out_capacity + 1, INT32_SENTINEL, dtype=jnp.int32) \
-        .at[write].set(jnp.where(is_new, s, INT32_SENTINEL), mode='drop')[:out_capacity]
-    # out_keys is sorted ascending with sentinel padding by construction
-    out_coords = delinearize(out_keys, out_shape)
+    rank = (jnp.cumsum(is_new) - 1).astype(jnp.int32)      # shared by duplicates
+    ok = (s != INT32_SENTINEL) & (rank < out_capacity)
     num_out = jnp.sum(is_new).astype(jnp.int32)
 
-    # --- gather rulebook: for each output o and offset, input at o*s - p + off ---
-    in_keys = linearize(coords, spatial_shape, valid=valid)
-    in_order = jnp.argsort(in_keys).astype(jnp.int32)
-    in_sorted = in_keys[in_order]
+    # unique output keys -> coords (sorted ascending by construction)
+    write = jnp.where(is_new & ok, rank, out_capacity)     # OOB drop otherwise
+    out_keys = jnp.full(out_capacity, INT32_SENTINEL, dtype=jnp.int32) \
+        .at[write].set(s, mode='drop', unique_indices=True)
+    out_coords = delinearize(out_keys, out_shape)
 
-    def rule(off):
-        ic = out_coords * stride - padding + off[None, :]
-        ik = linearize(ic, spatial_shape, valid=out_coords[..., 0] >= 0)
-        return _sorted_lookup(in_sorted, in_order, ik)
+    # inverse rulebook: inv[k, v] = output slot this (v, k) pair feeds
+    inv_tgt = jnp.where(ok, sp, k3 * v)                    # payload is unique
+    inv_in_idx = jnp.full(k3 * v, -1, jnp.int32) \
+        .at[inv_tgt].set(rank, mode='drop', unique_indices=True).reshape(k3, v)
 
-    rule_in_idx = jax.vmap(rule)(offs)                     # [K^3, Vo]
-
-    # --- inverse rulebook: fine voxel t gathers coarse c = (t + p - off)/s ---
-    out_order = jnp.arange(out_capacity, dtype=jnp.int32)  # already sorted
-
-    def inv(off):
-        t = coords + padding - off[None, :]
-        div = jnp.all(t % stride == 0, axis=-1)
-        c = t // stride
-        ck = linearize(c, out_shape, valid=valid & div)
-        return _sorted_lookup(out_keys, out_order, ck)
-
-    inv_in_idx = jax.vmap(inv)(offs)                       # [K^3, V]
+    # gather rulebook: rule[k, o] = the input voxel at o*s - p + off_k.
+    # For fixed (o, k) there is at most one input, so (k, rank) is unique.
+    kk = sp // v
+    vv = sp % v
+    rule_tgt = jnp.where(ok, kk * out_capacity + rank, k3 * out_capacity)
+    rule_in_idx = jnp.full(k3 * out_capacity, -1, jnp.int32) \
+        .at[rule_tgt].set(vv, mode='drop', unique_indices=True) \
+        .reshape(k3, out_capacity)
     return out_coords, rule_in_idx, inv_in_idx, num_out
 
 

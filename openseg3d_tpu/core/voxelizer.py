@@ -46,7 +46,18 @@ class VoxelGenerator:
 
     def generate(self, points: np.ndarray):
         """points [N, >=3] (x,y,z,...) -> (voxel_coords [M,3] int32 zyx,
-        point_voxel_ids [N] int32, -1 = out of range)."""
+        point_voxel_ids [N] int32, -1 = out of range).
+
+        Uses the C++ extension (openseg3d_tpu/native) when buildable — the
+        production input-pipeline path — otherwise this module's vectorized
+        numpy implementation (also the test oracle)."""
+        try:
+            from ..native import available, native_points_to_voxel
+            if available():
+                return native_points_to_voxel(points, self._voxel_size,
+                                              self._point_cloud_range)
+        except Exception:
+            pass
         return points_to_voxel(points, self._voxel_size, self._point_cloud_range)
 
     def __repr__(self):

@@ -69,9 +69,24 @@ def pad_sample(sample: dict, max_points: int, max_voxels: int,
     voxel_mask[:m] = True
     out['voxel_mask'] = voxel_mask
 
+    # current-frame rows: labels / image features / range-image indices are
+    # aligned with the CURRENT-frame point order (multi-sweep,
+    # waymo_dataset.py:204-211), so they scatter onto cur rows, not [:n].
+    if 'cur_point_indices' in sample:
+        cur_all = np.asarray(sample['cur_point_indices'])
+        keep = cur_all < max_points              # truncation-safe selection
+        rows = cur_all[keep]
+        cpm = np.zeros(max_points, dtype=bool)
+        cpm[rows] = True
+        out['cur_point_mask'] = cpm
+    else:
+        out['cur_point_mask'] = point_mask.copy()
+        rows = np.arange(n)
+        keep = slice(0, n)
+
     if 'point_labels' in sample:
         pl = np.full(max_points, ignore_index, dtype=np.int32)
-        pl[:n] = np.asarray(sample['point_labels'], dtype=np.int32)[:n]
+        pl[rows] = np.asarray(sample['point_labels'], dtype=np.int32)[keep]
         out['point_labels'] = pl
     if 'voxel_labels' in sample:
         vl = np.full(max_voxels, ignore_index, dtype=np.int32)
@@ -80,21 +95,11 @@ def pad_sample(sample: dict, max_points: int, max_voxels: int,
     if 'point_image_features' in sample:
         f = np.asarray(sample['point_image_features'], dtype=np.float32)
         pif = np.zeros((max_points, f.shape[1]), dtype=np.float32)
-        pif[:n] = f[:n]
+        pif[rows] = f[keep]
         out['point_image_features'] = pif
-    if 'cur_point_indices' in sample:
-        # multi-sweep: which rows belong to the current frame
-        cpm = np.zeros(max_points, dtype=bool)
-        idx = np.asarray(sample['cur_point_indices'])
-        cpm[idx[idx < max_points]] = True
-        out['cur_point_mask'] = cpm
-    else:
-        out['cur_point_mask'] = point_mask.copy()
     if 'points_ri' in sample:
         ri = -np.ones((max_points, 3), dtype=np.int32)
-        r = np.asarray(sample['points_ri'], dtype=np.int32)
-        k = min(r.shape[0], max_points)
-        ri[:k] = r[:k]
+        ri[rows] = np.asarray(sample['points_ri'], dtype=np.int32)[keep]
         out['points_ri'] = ri
 
     out['num_points'] = np.int32(n)

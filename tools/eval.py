@@ -1,0 +1,116 @@
+"""Offline evaluation with test-time augmentation.
+
+Parity: tools/eval.py — validation split, 36-variant TTA (3 scales x 3 angles
+x flip_x x flip_y), softmax-averaged point predictions, IoU metric.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description='Evaluate a 3d segmentor')
+    p.add_argument('--cfg_file', type=str, default=None)
+    p.add_argument('--data_dir', type=str, default=None)
+    p.add_argument('--save_dir', type=str, required=True,
+                   help='directory containing latest/ checkpoint')
+    p.add_argument('--log_iter_interval', default=10, type=int)
+    p.add_argument('--no_tta', action='store_true')
+    p.add_argument('--synthetic', action='store_true')
+    p.add_argument('--synthetic_frames', default=8, type=int)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from openseg3d_tpu.config import cfg_from_file
+    from openseg3d_tpu.utils import get_root_logger
+    from openseg3d_tpu.utils.checkpoint import restore_checkpoint, latest_checkpoint
+    from openseg3d_tpu.engine import build_segmentor, create_train_state
+    from openseg3d_tpu.models.optim import build_optimizer, build_schedule
+    from openseg3d_tpu.core.metrics import IOUMetric
+    from openseg3d_tpu.data.test_time_aug import MultiScaleFlipAug
+    from openseg3d_tpu.data.batch import collate_padded
+    import jax
+    import jax.numpy as jnp
+
+    logger = get_root_logger(os.path.join(args.save_dir, 'eval.log'))
+    cfg = cfg_from_file(args.cfg_file)
+
+    if args.synthetic:
+        from openseg3d_tpu.data.synthetic import SyntheticDataset
+        dataset = SyntheticDataset(cfg, args.synthetic_frames, mode='validation')
+    else:
+        from openseg3d_tpu.data.waymo_dataset import WaymoDataset
+        dataset = WaymoDataset(cfg, args.data_dir, 'validation')
+
+    model, spec = build_segmentor(cfg)
+    tx = build_optimizer(cfg, build_schedule(cfg, 1, 1))
+    sample = collate_padded([dataset.load_padded(0)[0]])
+    sample = {k: v for k, v in sample.items() if k != 'batch_size'}
+    state = create_train_state(cfg, model, tx, sample, seed=0)
+    latest = latest_checkpoint(args.save_dir)
+    if latest:
+        state, _ = restore_checkpoint(latest, state)
+        logger.info('loaded %s', latest)
+    else:
+        logger.warning('no checkpoint in %s; evaluating random init', args.save_dir)
+
+    variables = {'params': state.params, 'batch_stats': state.batch_stats}
+
+    @jax.jit
+    def forward(batch):
+        out = model.apply(variables, batch, train=False)
+        return jax.nn.softmax(out['point_out'].astype(jnp.float32), axis=-1)
+
+    # TTA protocol (tools/eval.py:97-100)
+    tta = MultiScaleFlipAug(dataset, scales=[0.95, 1.0, 1.05],
+                            angles=[-np.pi / 4, 0.0, np.pi / 4],
+                            flip_x=True, flip_y=True)
+
+    metric = IOUMetric(dataset.class_names)
+    for i in range(len(dataset)):
+        raw = dataset[i]
+        labels = raw['point_labels']
+        if args.no_tta:
+            b = collate_padded([dataset.pad(raw)])
+            b = {k: jnp.asarray(v) for k, v in b.items() if k != 'batch_size'}
+            probs = np.asarray(forward(b))[0]
+            mask = np.asarray(b['point_mask'][0]) & np.asarray(b['cur_point_mask'][0])
+            gt = np.asarray(b['point_labels'][0])
+        else:
+            # softmax-mean over variants; each variant may reorder points, so
+            # accumulation is in padded order (variants share the raw order
+            # because eval disables the training-time shuffles)
+            acc, mask, gt = None, None, None
+            for b in tta(raw):
+                bj = {k: jnp.asarray(v) for k, v in b.items() if k != 'batch_size'}
+                p = np.asarray(forward(bj))[0]
+                if acc is None:
+                    acc = np.array(p)
+                    mask = np.asarray(b['point_mask'][0]) & np.asarray(b['cur_point_mask'][0])
+                    gt = np.asarray(b['point_labels'][0])
+                else:
+                    acc += p
+            probs = acc
+        preds = probs.argmax(-1)
+        metric.add(preds[mask], gt[mask])
+        if (i + 1) % args.log_iter_interval == 0:
+            logger.info('evaluated [%d/%d]', i + 1, len(dataset))
+
+    result = metric.get_metric()
+    logger.info('Metrics on validation dataset: mIoU=%.4f', result['mIOU'])
+    for k, v in result['IOU'].items():
+        logger.info('  %s: %.4f', k, v)
+    print('mIoU', result['mIOU'])
+
+
+if __name__ == '__main__':
+    main()

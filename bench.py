@@ -27,28 +27,49 @@ A100_BASELINE_POINTS_PER_SEC = 1.65e6  # documented estimate, see module docstri
 
 
 def make_waymo_like_cloud(rng, n_points: int):
-    """Synthetic LiDAR-like frame: radial ground sweep + vertical structures,
-    tuned to land in the realistic 60-100k occupied-voxel range at 0.1m."""
-    n_ground = int(n_points * 0.55)
-    n_struct = n_points - n_ground
-    # ground: 64-beam-ish radial rings
-    r = np.sqrt(rng.uniform(2.0 ** 2, 71.0 ** 2, n_ground))
-    az = rng.uniform(-np.pi, np.pi, n_ground)
-    gx = r * np.cos(az)
-    gy = r * np.sin(az)
-    gz = rng.normal(-1.6, 0.08, n_ground).clip(-1.95, 0)
-    ground = np.stack([gx, gy, gz], 1)
-    # structures: clusters of vertical surfaces (buildings/cars/poles)
-    n_clusters = 160
-    centers = rng.uniform(-65, 65, (n_clusters, 2))
-    ci = rng.randint(0, n_clusters, n_struct)
-    sx = centers[ci, 0] + rng.normal(0, 1.8, n_struct)
-    sy = centers[ci, 1] + rng.normal(0, 1.8, n_struct)
-    sz = rng.uniform(-1.9, 4.2, n_struct)
-    struct = np.stack([sx, sy, sz], 1)
-    xyz = np.concatenate([ground, struct]).astype(np.float32)
+    """Synthetic LiDAR frame with a real beam model: 64 elevation beams swept
+    over azimuth columns; each ray hits either the ground plane (range set by
+    beam geometry — dense near-field, sparse far-field like a real spinning
+    lidar) or a random vertical obstacle. This reproduces Waymo's voxel
+    occupancy statistics (~60-90k occupied 0.1m voxels per ~160k-point frame)
+    far better than uniform sampling, which matters because sparse-conv cost
+    scales with occupancy structure."""
+    sensor_h = 2.0
+    n_beams = 64
+    n_cols = max(n_points // n_beams, 1)
+    elev = np.linspace(np.deg2rad(-18.0), np.deg2rad(2.5), n_beams)
+    az = np.linspace(-np.pi, np.pi, n_cols, endpoint=False)
+    az = az[None, :] + rng.normal(0, 1e-3, (n_beams, n_cols))
+    el = np.broadcast_to(elev[:, None], (n_beams, n_cols)).copy()
+
+    # ground-return range per ray; upward beams get "sky" (clipped far)
+    with np.errstate(divide='ignore'):
+        r_ground = np.where(el < -1e-3, sensor_h / np.tan(-el), 75.0)
+    # obstacles: ~200 buildings/cars at random azimuth spans
+    r = np.minimum(r_ground, 74.0)
+    n_obs = 200
+    ob_az = rng.uniform(-np.pi, np.pi, n_obs)
+    ob_w = rng.uniform(0.02, 0.15, n_obs)        # azimuth half-width
+    ob_r = rng.uniform(4.0, 70.0, n_obs)
+    ob_h = rng.uniform(0.5, 5.0, n_obs)
+    for i in range(n_obs):
+        hit = (np.abs((az - ob_az[i] + np.pi) % (2 * np.pi) - np.pi) < ob_w[i])
+        # the obstacle truncates rays whose ground range exceeds its range and
+        # whose height at the obstacle is below its top
+        z_at = sensor_h + np.tan(el) * ob_r[i]
+        hit &= (r > ob_r[i]) & (z_at < ob_h[i] - 1.9)
+        r = np.where(hit, ob_r[i] * rng.uniform(0.98, 1.0), r)
+
+    r = (r * rng.uniform(0.995, 1.005, r.shape)).clip(1.5, 75.0)
+    x = r * np.cos(el) * np.cos(az)
+    y = r * np.cos(el) * np.sin(az)
+    z = sensor_h + r * np.sin(el) - 1.9          # sensor ~1.9m above ground
+    xyz = np.stack([x, y, z], -1).reshape(-1, 3)
+    xyz = xyz[:n_points]
+    if xyz.shape[0] < n_points:
+        xyz = np.concatenate([xyz, xyz[:n_points - xyz.shape[0]] + 0.05])
     feats = rng.randn(n_points, 3).astype(np.float32)
-    return np.concatenate([xyz, feats], 1)
+    return np.concatenate([xyz.astype(np.float32), feats], 1)
 
 
 def main():
@@ -102,40 +123,40 @@ def main():
     state = create_train_state(cfg, model, tx, batch, seed=0)
 
     # Timing protocol: on the axon TPU tunnel, block_until_ready is a no-op
-    # until the first device->host readback (after which dispatch turns
-    # synchronous with ~30ms RTT). So: dispatch `iters` dependent steps
-    # asynchronously and force ONE scalar readback at the end — wall time then
-    # equals true device time + one RTT.
+    # until the first device->host readback. A scalar readback per iteration
+    # forces true synchronization (validated against jax.profiler device
+    # times); it adds ~35ms of tunnel round trip per step, so the numbers are
+    # slightly conservative.
+    _ = float(jax.jit(lambda: jnp.zeros(()))()[...])   # flip to sync mode
+
     if args.mode == 'infer':
         variables = {'params': state.params, 'batch_stats': state.batch_stats}
 
         @jax.jit
-        def step(b, bias):
-            out = model.apply(variables, b, train=False)['point_out']
-            return out + bias
+        def step(b):
+            return model.apply(variables, b, train=False)['point_out']
 
         t0 = time.time()
-        out = step(batch, 0.0)
+        _ = float(step(batch)[0, 0, 0])
         compile_s = time.time() - t0
-        # chain iterations through a data dependency so they can't be elided
-        t0 = time.time()
-        carry = jnp.zeros(())
-        for _ in range(args.iters):
-            out = step(batch, carry)
-            carry = out[0, 0, 0] * 1e-20
-        _ = float(carry)
-        med = (time.time() - t0) / args.iters
+        times = []
+        for _i in range(args.iters):
+            t0 = time.time()
+            _ = float(step(batch)[0, 0, 0])
+            times.append(time.time() - t0)
     else:
         tstep = make_train_step(cfg, spec, model, donate=False)
         key = jax.random.PRNGKey(0)
         t0 = time.time()
         state, m = tstep(state, batch, key)
         compile_s = time.time() - t0
-        t0 = time.time()
-        for _ in range(args.iters):
+        times = []
+        for _i in range(args.iters):
+            t0 = time.time()
             state, m = tstep(state, batch, key)
-        _ = float(m['loss'])
-        med = (time.time() - t0) / args.iters
+            _ = float(m['loss'])
+            times.append(time.time() - t0)
+    med = float(np.median(times))
     pts_per_sec = args.batch_size * args.n_points / med
 
     print(json.dumps({

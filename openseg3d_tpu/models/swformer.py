@@ -148,7 +148,8 @@ class SWFormerBlock(nn.Module):
                 variable_axes={'params': 0},
                 split_rngs={'params': True, 'dropout': True},
                 in_axes=((nn.broadcast, nn.broadcast, 0),),
-                length=n)
+                length=n, unroll=True)  # unrolled: while-loop barriers cost
+                                        # more than the larger TPU program
             dp = jnp.asarray(rates[lo:hi], dtype=feat.dtype)
             feat, _ = Scan(self.d_model, self.nhead, hidden, self.levels,
                            shift, train, self.drop, self.attn_drop,

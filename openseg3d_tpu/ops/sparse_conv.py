@@ -146,14 +146,113 @@ def sort_match(keys: jax.Array, queries: jax.Array) -> jax.Array:
 # Rulebook construction (single sample; vmapped wrappers below)
 # ---------------------------------------------------------------------------
 
-def _subm_rulebook_single(coords: jax.Array, spatial_shape, kernel_size: int) -> jax.Array:
-    """[V,3] zyx -> in_idx [K^3, V]; submanifold: outputs == inputs.
+def _mirror_rows(rows_idx: jax.Array) -> jax.Array:
+    """Invert each row's partial bijection: out[r][u] = v <=> rows_idx[r][v] = u."""
+    n, v = rows_idx.shape
+    rr = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, v))
+    src = jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32)[None, :], (n, v))
+    tgt = jnp.where(rows_idx >= 0, rr * v + rows_idx, n * v)
+    return jnp.full(n * v, -1, jnp.int32).at[tgt.reshape(-1)].set(
+        src.reshape(-1), mode='drop', unique_indices=True).reshape(n, v)
 
-    Only the (K^3-1)/2 offsets below the center are searched (one tagged
-    merge-sort, sort_match); the center is the identity and each mirror offset
-    is the inverse bijection of its partner, recovered with one scatter —
-    halving the dominant sort (spconv builds subm rulebooks with the same
-    symmetry)."""
+
+def _subm_rulebook_k3(coords: jax.Array, spatial_shape) -> jax.Array:
+    """3^3 submanifold rulebook with one V-sort + one 5V tagged sort.
+
+    Key insight: in sorted-key order, the x-axis neighbors of any voxel are the
+    keys q-1 / q+1 (when not crossing a row boundary), so for each (dz, dy)
+    plane ONE rank lookup of q = key(z+dz, y+dy, x) yields all three dx
+    matches. Only 4 of the 8 non-center planes are searched; the mirrors are
+    recovered by inverting the bijections (spconv-style symmetry)."""
+    gz, gy, gx = spatial_shape
+    valid = coords[..., 0] >= 0
+    v = coords.shape[0]
+    keys = linearize(coords, spatial_shape, valid=valid)
+    order = jnp.argsort(keys).astype(jnp.int32)
+    ks = keys[order]
+    arange_v = jnp.arange(v, dtype=jnp.int32)
+
+    def match_full(q):
+        """q [M] plane-shifted keys -> (idx for dx=-1, 0, +1), each [M]."""
+        m = q.shape[0]
+        qv = jnp.where(q == INT32_SENTINEL, INT32_SENTINEL, q * 2 + 1)
+        kv = jnp.where(ks == INT32_SENTINEL, INT32_SENTINEL, ks * 2)
+        vals = jnp.concatenate([kv, qv])
+        pay = jnp.concatenate([arange_v, v + jnp.arange(m, dtype=jnp.int32)])
+        sv, sp = jax.lax.sort([vals, pay], num_keys=1)
+        is_key = ((sv & 1) == 0) & (sv != INT32_SENTINEL)
+        ranks = jnp.cumsum(is_key)                       # keys <= value so far
+        # rank per query, back in query order
+        is_q = sp >= v
+        qtgt = jnp.where(is_q, sp - v, m)
+        r = jnp.zeros(m, jnp.int32).at[qtgt].set(
+            ranks.astype(jnp.int32), mode='drop', unique_indices=True)
+
+        qs = q != INT32_SENTINEL
+        km1 = ks[jnp.clip(r - 1, 0, v - 1)]
+        eq0 = qs & (r >= 1) & (km1 == q)
+        idx0 = jnp.where(eq0, order[jnp.clip(r - 1, 0, v - 1)], -1)
+
+        # dx = -1: key q-1 sits just below q's matches
+        pos_m = r - 1 - eq0.astype(jnp.int32)
+        cand_m = ks[jnp.clip(pos_m, 0, v - 1)]
+        ok_m = qs & (pos_m >= 0) & (cand_m == q - 1) & (q % gx != 0)
+        idx_m = jnp.where(ok_m, order[jnp.clip(pos_m, 0, v - 1)], -1)
+
+        # dx = +1: the smallest key > q is at rank r
+        cand_p = ks[jnp.clip(r, 0, v - 1)]
+        ok_p = qs & (r < v) & (cand_p == q + 1) & ((q + 1) % gx != 0)
+        idx_p = jnp.where(ok_p, order[jnp.clip(r, 0, v - 1)], -1)
+        return idx_m, idx0, idx_p
+
+    # center plane (dz=0, dy=0): q == key, rank is its own position
+    pos_in_sorted = jnp.zeros(v, jnp.int32).at[order].set(arange_v,
+                                                          unique_indices=True)
+    nxt = jnp.clip(pos_in_sorted + 1, 0, v - 1)
+    prv = jnp.clip(pos_in_sorted - 1, 0, v - 1)
+    ok_p = valid & (ks[nxt] == keys + 1) & ((keys + 1) % gx != 0) & (pos_in_sorted + 1 < v)
+    ok_m = valid & (ks[prv] == keys - 1) & (keys % gx != 0) & (pos_in_sorted > 0)
+    c_m = jnp.where(ok_m, order[prv], -1)
+    c_0 = jnp.where(valid, arange_v, -1)
+    c_p = jnp.where(ok_p, order[nxt], -1)
+
+    # four searched planes (their mirrors complete the 8)
+    planes = ((0, 1), (1, -1), (1, 0), (1, 1))
+    shifted = jnp.stack([coords + jnp.asarray([dz, dy, 0], jnp.int32)
+                         for dz, dy in planes])              # [4, V, 3]
+    q_all = linearize(shifted, spatial_shape,
+                      valid=jnp.broadcast_to(valid, (4, v))).reshape(-1)
+    pm, p0, pp = match_full(q_all)
+    pm = pm.reshape(4, v)
+    p0 = p0.reshape(4, v)
+    pp = pp.reshape(4, v)
+
+    def k_of(dz, dy, dx):
+        return (dz + 1) * 9 + (dy + 1) * 3 + (dx + 1)
+
+    rows = [jnp.full((v,), -1, jnp.int32)] * 27
+    rows[k_of(0, 0, -1)] = c_m
+    rows[k_of(0, 0, 0)] = c_0
+    rows[k_of(0, 0, 1)] = c_p
+    computed = []
+    for i, (dz, dy) in enumerate(planes):
+        rows[k_of(dz, dy, -1)] = pm[i]
+        rows[k_of(dz, dy, 0)] = p0[i]
+        rows[k_of(dz, dy, 1)] = pp[i]
+        computed.extend([k_of(dz, dy, -1), k_of(dz, dy, 0), k_of(dz, dy, 1)])
+    # mirrors: offset 26-k is the inverse bijection of offset k
+    mirrored = _mirror_rows(jnp.stack([rows[k] for k in computed]))
+    for i, k in enumerate(computed):
+        rows[26 - k] = mirrored[i]
+    return jnp.stack(rows)
+
+
+def _subm_rulebook_single(coords: jax.Array, spatial_shape, kernel_size: int) -> jax.Array:
+    """[V,3] zyx -> in_idx [K^3, V]; submanifold: outputs == inputs."""
+    if kernel_size == 3:
+        return _subm_rulebook_k3(coords, spatial_shape)
+    # generic fallback: search the lower half via one tagged merge-sort,
+    # mirror the rest
     valid = coords[..., 0] >= 0
     v = coords.shape[0]
     keys = linearize(coords, spatial_shape, valid=valid)
@@ -164,16 +263,8 @@ def _subm_rulebook_single(coords: jax.Array, spatial_shape, kernel_size: int) ->
     nb = coords[None, :, :] + offs[:half, None, :]           # [half, V, 3]
     nb_keys = linearize(nb, spatial_shape, valid=valid[None, :])
     lower = sort_match(keys, nb_keys.reshape(-1)).reshape(half, v)
-
     center = jnp.where(valid, jnp.arange(v, dtype=jnp.int32), -1)[None]
-
-    # mirror offset K^3-1-k: in_idx[m][u] = v  <=>  in_idx[k][v] = u
-    rows = jnp.broadcast_to(jnp.arange(half, dtype=jnp.int32)[:, None], (half, v))
-    src = jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32)[None, :], (half, v))
-    tgt = jnp.where(lower >= 0, rows * v + lower, half * v)  # OOB drop
-    mirror = jnp.full(half * v, -1, jnp.int32) \
-        .at[tgt.reshape(-1)].set(src.reshape(-1), mode='drop',
-                                 unique_indices=True).reshape(half, v)
+    mirror = _mirror_rows(lower)
     return jnp.concatenate([lower, center, mirror[::-1]], axis=0)
 
 
@@ -189,16 +280,36 @@ def _downsample_single(coords: jax.Array, spatial_shape, out_shape,
     valid = coords[..., 0] >= 0
     v = coords.shape[0]
     k3 = kernel_size ** 3
-    offs = kernel_offsets(kernel_size)
 
     # --- output candidates: pair (out cell, contributing input, offset) for
     # every (input, offset) with (in + p - off) % s == 0. ONE sort of these
     # pairs yields the unique output set AND both rulebooks — no searches.
-    t = coords[None] + padding - offs[:, None, :]          # [K^3, V, 3]
-    div = jnp.all(t % stride == 0, axis=-1)
-    cand_keys = linearize(t // stride, out_shape, valid=valid[None] & div)
-    flat_keys = cand_keys.reshape(-1)                      # [K^3 * V]
-    payload = jnp.arange(k3 * v, dtype=jnp.int32)          # encodes (k, v)
+    if kernel_size == 3 and stride == 2:
+        # parity specialization: per axis only offsets with
+        # off = ((c + p) mod 2) + 2*choice are divisible, so each input has at
+        # most 2^3 = 8 valid (offset, output) pairs instead of 27 — a 3.4x
+        # smaller candidate sort.
+        par = (coords + padding) % 2                        # [V, 3]
+        n_cand = 8
+        combos = jnp.asarray([[i, j, k] for i in (0, 1) for j in (0, 1)
+                              for k in (0, 1)], dtype=jnp.int32)   # [8, 3]
+        off = par[None] + 2 * combos[:, None, :]            # [8, V, 3]
+        ok_off = jnp.all(off < kernel_size, axis=-1)
+        t = coords[None] + padding - off
+        cand_keys = linearize(t // stride, out_shape, valid=valid[None] & ok_off)
+        koff = jnp.where(ok_off,
+                         (off[..., 0] * kernel_size + off[..., 1]) * kernel_size
+                         + off[..., 2], 0).reshape(-1)      # [8V] offset index
+    else:
+        offs = kernel_offsets(kernel_size)
+        n_cand = k3
+        t = coords[None] + padding - offs[:, None, :]       # [K^3, V, 3]
+        div = jnp.all(t % stride == 0, axis=-1)
+        cand_keys = linearize(t // stride, out_shape, valid=valid[None] & div)
+        koff = jnp.repeat(jnp.arange(k3, dtype=jnp.int32), v)
+
+    flat_keys = cand_keys.reshape(-1)                      # [n_cand * V]
+    payload = jnp.arange(n_cand * v, dtype=jnp.int32)      # encodes (row, v)
     s, sp = jax.lax.sort([flat_keys, payload], num_keys=1)
 
     is_new = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]]) & (s != INT32_SENTINEL)
@@ -212,15 +323,17 @@ def _downsample_single(coords: jax.Array, spatial_shape, out_shape,
         .at[write].set(s, mode='drop', unique_indices=True)
     out_coords = delinearize(out_keys, out_shape)
 
+    # recover (offset index, voxel) of each sorted candidate
+    kk = koff[sp]
+    vv = sp % v
+
     # inverse rulebook: inv[k, v] = output slot this (v, k) pair feeds
-    inv_tgt = jnp.where(ok, sp, k3 * v)                    # payload is unique
+    inv_tgt = jnp.where(ok, kk * v + vv, k3 * v)           # (k, v) is unique
     inv_in_idx = jnp.full(k3 * v, -1, jnp.int32) \
         .at[inv_tgt].set(rank, mode='drop', unique_indices=True).reshape(k3, v)
 
     # gather rulebook: rule[k, o] = the input voxel at o*s - p + off_k.
     # For fixed (o, k) there is at most one input, so (k, rank) is unique.
-    kk = sp // v
-    vv = sp % v
     rule_tgt = jnp.where(ok, kk * out_capacity + rank, k3 * out_capacity)
     rule_in_idx = jnp.full(k3 * out_capacity, -1, jnp.int32) \
         .at[rule_tgt].set(vv, mode='drop', unique_indices=True) \
@@ -298,19 +411,19 @@ def apply_sparse_conv(features: jax.Array, rulebook: Rulebook, weights: jax.Arra
     idx_groups = in_idx.reshape(b, n_groups, g_sz, vo).transpose(1, 0, 2, 3)
     w_groups = w.reshape(n_groups, g_sz, cin, cout)
 
-    def body(acc, inputs):
-        idx, wg = inputs                                       # [B,G,Vo], [G,Cin,Cout]
+    # unrolled over the (typically 3) offset groups: on TPU a lax.scan here
+    # costs a while-loop barrier per conv (~190ms of the profile), while the
+    # unrolled form lets XLA overlap the gathers with the GEMMs
+    acc = jnp.zeros((b, vo, cout), dtype=jnp.float32)
+    for gi in range(n_groups):
+        idx = idx_groups[gi]                                  # [B,G,Vo]
         flat = jnp.maximum(idx, 0).reshape(b, g_sz * vo)
         g = jnp.take_along_axis(x, flat[..., None], axis=1)
         g = g.reshape(b, g_sz, vo, cin)
         g = jnp.where((idx >= 0)[..., None], g, 0)
         # contract over (G, Cin): [B,G,Vo,Cin] x [G,Cin,Cout] -> [B,Vo,Cout]
-        part = jax.lax.dot_general(
-            g, wg, dimension_numbers=(((1, 3), (0, 1)), ((), ())),
+        acc = acc + jax.lax.dot_general(
+            g, w_groups[gi], dimension_numbers=(((1, 3), (0, 1)), ((), ())),
             preferred_element_type=jnp.float32)
-        return acc + part, None
-
-    acc = jnp.zeros((b, vo, cout), dtype=jnp.float32)
-    acc, _ = jax.lax.scan(body, acc, (idx_groups, w_groups))
     out = acc.astype(features.dtype)
     return jnp.where(out_mask[..., None], out, 0)

@@ -152,6 +152,9 @@ def refresh_halos(dense, layout: BlockLayout):
         sz, dzr = region(dz, bz)
         sy, dyr = region(dy, by)
         sx, dxr = region(dx, bx)
+        # NOTE: gather-the-whole-block-then-slice fuses in XLA (verified);
+        # slicing before the gather materializes 26 strided copies and OOMs
+        # HBM at Waymo scale — don't "optimize" this.
         nb_dense = jnp.take_along_axis(
             dense, jnp.maximum(src_slot, 0)[..., None, None, None, None], axis=1)
         patch = nb_dense[:, :, sz, sy, sx, :]

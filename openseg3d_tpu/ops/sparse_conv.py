@@ -427,3 +427,139 @@ def apply_sparse_conv(features: jax.Array, rulebook: Rulebook, weights: jax.Arra
             preferred_element_type=jnp.float32)
     out = acc.astype(features.dtype)
     return jnp.where(out_mask[..., None], out, 0)
+
+
+# ---------------------------------------------------------------------------
+# Planar (sorted-x) submanifold conv — the fast path for kernel_size == 3
+# ---------------------------------------------------------------------------
+#
+# With voxels stored in ascending linearized-key order, the three dx-neighbors
+# of any voxel within one (dz, dy) plane occupy a 3-row window of the sorted
+# feature table: if r = #keys <= q for the plane-shifted query q = key(z+dz,
+# y+dy, x), then q-1/q/q+1 (when present) all lie in rows [r-2, r]. So ONE
+# gather with slice size (3, C) per plane replaces three per-offset row
+# gathers. Measured on v5e: the gather-GEMM path is HBM row-gather latency
+# bound (27V rows of C*2 bytes); this cuts row count 3x and triples row width.
+
+
+class PlanarRulebook(NamedTuple):
+    """Sorted-order subm structure: for each of the 9 (dz, dy) planes and each
+    output row, `base` is the clamped start of the 3-row window in the sorted
+    table and `wsel[w]` is the dx (-1/0/+1) that window row w realizes, or 2
+    if that row is not a neighbor."""
+    base: jax.Array       # [B, 9, V] int32
+    wsel: jax.Array       # [B, 9, V, 3] int8
+
+
+def sort_by_key(st: SparseTensor) -> tuple[SparseTensor, jax.Array]:
+    """Reorder a SparseTensor into ascending linearized-key order (invalid
+    rows sort to the end). Returns (sorted_st, order) with order [B, V] such
+    that sorted.features == features[order]; undo with
+    ``unsort_by_order(y, order)``."""
+    keys = jax.vmap(lambda c: linearize(c, st.spatial_shape,
+                                        valid=c[..., 0] >= 0))(st.coords)
+    order = jnp.argsort(keys, axis=-1).astype(jnp.int32)
+    coords = jnp.take_along_axis(st.coords, order[..., None], axis=1)
+    feats = jnp.take_along_axis(st.features, order[..., None], axis=1) \
+        if st.features.ndim == 3 else st.features
+    return st.replace(features=feats, coords=coords), order
+
+
+def unsort_by_order(y: jax.Array, order: jax.Array) -> jax.Array:
+    """Scatter rows of y back to the pre-sort layout."""
+    b, v = order.shape
+    inv = jnp.zeros((b, v), jnp.int32)
+    inv = jax.vmap(lambda o, a: a.at[o].set(jnp.arange(v, dtype=jnp.int32),
+                                            unique_indices=True))(order, inv)
+    return jnp.take_along_axis(y, inv[..., None], axis=1)
+
+
+def _planar_subm_single(coords: jax.Array, spatial_shape):
+    """coords [V, 3] MUST be in ascending key order (sort_by_key)."""
+    gz, gy, gx = spatial_shape
+    v = coords.shape[0]
+    valid = coords[..., 0] >= 0
+    keys = linearize(coords, spatial_shape, valid=valid)     # ascending
+
+    planes = [(dz, dy) for dz in (-1, 0, 1) for dy in (-1, 0, 1)]
+    shifted = jnp.stack([coords + jnp.asarray([dz, dy, 0], jnp.int32)
+                         for dz, dy in planes])              # [9, V, 3]
+    q = linearize(shifted, spatial_shape,
+                  valid=jnp.broadcast_to(valid, (9, v))).reshape(-1)   # [9V]
+
+    # one tagged merge-sort ranks all 9V queries against the V keys
+    m = 9 * v
+    kv = jnp.where(keys == INT32_SENTINEL, INT32_SENTINEL, keys * 2)
+    qv = jnp.where(q == INT32_SENTINEL, INT32_SENTINEL, q * 2 + 1)
+    vals = jnp.concatenate([kv, qv])
+    pay = jnp.concatenate([jnp.arange(v, dtype=jnp.int32),
+                           v + jnp.arange(m, dtype=jnp.int32)])
+    sv, sp = jax.lax.sort([vals, pay], num_keys=1)
+    ranks = jnp.cumsum(((sv & 1) == 0) & (sv != INT32_SENTINEL))  # keys <= here
+    is_q = sp >= v
+    qtgt = jnp.where(is_q, sp - v, m)
+    r = jnp.zeros(m, jnp.int32).at[qtgt].set(ranks.astype(jnp.int32),
+                                             mode='drop', unique_indices=True)
+
+    base = jnp.clip(r - 2, 0, max(v - 3, 0))                 # [9V]
+    win = base[:, None] + jnp.arange(3, dtype=jnp.int32)[None, :]   # [9V, 3]
+    kw = keys[win]                                           # window keys
+    q_ok = q != INT32_SENTINEL
+    kw_ok = kw != INT32_SENTINEL
+    delta = jnp.where(kw_ok & q_ok[:, None],
+                      kw - jnp.where(q_ok, q, 0)[:, None], 99)
+    xq = jnp.where(q_ok, q % gx, 0)[:, None]
+    bound_ok = jnp.where(delta == -1, xq > 0,
+                         jnp.where(delta == 1, xq < gx - 1, True))
+    hit = (jnp.abs(delta) <= 1) & bound_ok
+    wsel = jnp.where(hit, delta, 2).astype(jnp.int8)         # [9V, 3]
+    return base.reshape(9, v), wsel.reshape(9, v, 3)
+
+
+def build_planar_subm_rulebook(st: SparseTensor) -> PlanarRulebook:
+    """st.coords MUST already be in ascending key order per sample (use
+    sort_by_key once per stage — downsample outputs are already sorted)."""
+    base, wsel = jax.vmap(partial(_planar_subm_single,
+                                  spatial_shape=st.spatial_shape))(st.coords)
+    return PlanarRulebook(base=base, wsel=wsel)
+
+
+def apply_planar_subm_conv(features: jax.Array, rulebook: PlanarRulebook,
+                           weights: jax.Array, out_mask: jax.Array,
+                           compute_dtype=None) -> jax.Array:
+    """features [B, V, Cin] in sorted-key order, weights [27, Cin, Cout] in
+    raster (dz, dy, dx) order -> [B, V, Cout] in the same sorted order.
+    Exactly equivalent to apply_sparse_conv with the k=3 subm rulebook."""
+    b, v, cin = features.shape
+    cout = weights.shape[-1]
+    x = features
+    w = weights
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    w = w.reshape(9, 3, cin, cout)
+
+    def slice_windows(xs, starts):                           # [V,C], [9V]
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(xs, (s, 0), (3, cin)))(starts)
+
+    acc = jnp.zeros((b, v, cout), dtype=jnp.float32)
+    for p in range(9):
+        g = jax.vmap(slice_windows)(x, rulebook.base[:, p])  # [B, V, 3, Cin]
+        # neighbor features per dx: each window row contributes to at most one
+        # dx slot; explicit masked adds (9 VPU multiply-adds on [B,V,Cin])
+        # rather than a per-voxel 3x3 einsum, which XLA lowers badly
+        sel = rulebook.wsel[:, p]                            # [B, V, 3] int8
+        nb = [jnp.zeros((b, v, cin), x.dtype)] * 3
+        for wi in range(3):
+            gw = g[:, :, wi]
+            for dxi in range(3):
+                m = (sel[:, :, wi] == dxi - 1)[..., None]
+                nb[dxi] = nb[dxi] + jnp.where(m, gw, 0)
+        nb = jnp.stack(nb, axis=2)                           # [B, V, 3dx, Cin]
+        acc = acc + jax.lax.dot_general(
+            nb.reshape(b, v, 3 * cin), w[p].reshape(3 * cin, cout),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out = acc.astype(features.dtype)
+    return jnp.where(out_mask[..., None], out, 0)

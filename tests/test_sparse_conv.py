@@ -166,3 +166,43 @@ def test_capacity_overflow_drops_and_counts():
     n_valid = int((np.array(plan.out_coords)[0, :, 0] >= 0).sum())
     assert n_valid == 8
     assert int(plan.num_out[0]) >= 8  # true count reported for drop logging
+
+
+def test_planar_subm_matches_gather_gemm():
+    """The sorted-x planar fast path is exactly the k=3 subm conv."""
+    from openseg3d_tpu.ops.sparse_conv import (
+        sort_by_key, unsort_by_order, build_planar_subm_rulebook,
+        apply_planar_subm_conv)
+    rng = np.random.RandomState(11)
+    st = make_sparse(rng, b=2, v_cap=128, n_active=100, shape=(9, 7, 5), c=8)
+    w = jnp.asarray(rng.randn(27, 8, 6).astype(np.float32) * 0.1)
+
+    ref = apply_sparse_conv(st.features, build_subm_rulebook(st, 3), w, st.mask)
+
+    @jax.jit
+    def planar(st):
+        sst, order = sort_by_key(st)
+        prb = build_planar_subm_rulebook(sst)
+        y = apply_planar_subm_conv(sst.features, prb, w, sst.mask)
+        return unsort_by_order(y, order)
+
+    np.testing.assert_allclose(np.asarray(planar(st)), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_planar_subm_all_padding():
+    from openseg3d_tpu.ops.sparse_conv import (
+        sort_by_key, build_planar_subm_rulebook, apply_planar_subm_conv)
+    st = SparseTensor(features=jnp.zeros((1, 16, 4)),
+                      coords=jnp.full((1, 16, 3), -1, jnp.int32),
+                      spatial_shape=(4, 4, 4))
+    w = jnp.ones((27, 4, 4))
+
+    @jax.jit
+    def planar(st):
+        sst, _ = sort_by_key(st)
+        prb = build_planar_subm_rulebook(sst)
+        return apply_planar_subm_conv(sst.features, prb, w, sst.mask)
+
+    out = np.asarray(planar(st))
+    assert np.isfinite(out).all() and (out == 0).all()

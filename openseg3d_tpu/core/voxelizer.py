@@ -66,14 +66,15 @@ class VoxelGenerator:
                 f'grid_size={self._grid_size.tolist()})')
 
 
-def points_to_voxel(points: np.ndarray, voxel_size, coors_range, preserve_order: bool = True):
+def points_to_voxel(points: np.ndarray, voxel_size, coors_range, preserve_order: bool = False):
     """Vectorized dynamic voxelization.
 
     Matches _points_to_voxel_reverse_kernel (voxel_generator.py:98-153):
-    per-axis floor binning, strict [0, grid) bounds, zyx coords, voxel ids in
-    first-seen point order (when preserve_order=True; sorted-key order otherwise,
-    which is cheaper and order-insensitive downstream).
-    """
+    per-axis floor binning, strict [0, grid) bounds, zyx coords. Voxel ids are
+    in ascending linearized-key order by default (the device pipeline's planar
+    submanifold conv relies on key-sorted slot order; the reference's
+    first-seen order — preserve_order=True — is an artifact of its canvas fill
+    and semantically just a relabeling, SURVEY.md §7.3)."""
     voxel_size = np.asarray(voxel_size, dtype=points.dtype)
     coors_range = np.asarray(coors_range, dtype=points.dtype)
     gs = np.round((coors_range[3:] - coors_range[:3]) / voxel_size).astype(np.int64)

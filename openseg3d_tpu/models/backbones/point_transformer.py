@@ -78,6 +78,7 @@ class PointTransformer(nn.Module):
         x_conv4 = block(3)(x, window_parts[3], train)
 
         aux_voxel_out = nn.Dense(spec.num_classes, use_bias=False,
+                                 dtype=jnp.float32,
                                  kernel_init=nn.initializers.kaiming_normal(),
                                  name='aux_voxel_classifier')(x_conv4)
 
@@ -88,6 +89,7 @@ class PointTransformer(nn.Module):
         x = UpBlock(48, self.output_channels)(x, x_conv1, rb1, m1, rb1, m1, train)
 
         voxel_out = nn.Dense(spec.num_classes, use_bias=False,
+                             dtype=jnp.float32,
                              kernel_init=nn.initializers.kaiming_normal(),
                              name='voxel_classifier')(x)
         return {

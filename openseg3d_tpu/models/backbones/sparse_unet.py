@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.sparse_conv import (SparseTensor, Rulebook, DownsamplePlan,
-                                build_subm_rulebook, build_downsample)
+                                build_subm_rulebook, build_downsample,
+                                planar_from_k3)
 from ..sparse_modules import ConvModule, SparseBasicBlock, UpBlock
 from ..ocr import OCRLayer
 
@@ -43,14 +44,20 @@ class UNetPlans(NamedTuple):
 
 def build_unet_plans(st: SparseTensor, capacities) -> UNetPlans:
     """Build rulebooks for 4 stages with stride-2/kernel-3/pad-1 downsamples
-    between them (spconv_unet.py:139-169 / pointtransformer.py:159-166)."""
+    between them (spconv_unet.py:139-169 / pointtransformer.py:159-166).
+
+    Stage coords are in ascending linearized-key order BY PIPELINE INVARIANT
+    (the voxelizer emits sorted slots; downsample outputs are sorted by
+    construction), so every stage's subm rulebook converts to the planar
+    fast-path structure (ops/sparse_conv.planar_from_k3) for free."""
     masks, coords, subm, downs, shapes = [], [], [], [], []
     cur = st
     for s in range(4):
         masks.append(cur.mask)
         coords.append(cur.coords)
         shapes.append(cur.spatial_shape)
-        subm.append(build_subm_rulebook(cur, 3))
+        subm.append(planar_from_k3(build_subm_rulebook(cur, 3,
+                                                       assume_sorted=True)))
         if s < 3:
             plan = build_downsample(cur, out_capacity=capacities[s + 1],
                                     kernel_size=3, stride=2, padding=1)
@@ -99,6 +106,7 @@ class SparseUnet(nn.Module):
 
         # auxiliary head at the bottleneck (:183,216-218)
         aux_voxel_out = nn.Dense(self.num_classes, use_bias=False,
+                                 dtype=jnp.float32,
                                  kernel_init=nn.initializers.kaiming_normal(),
                                  name='aux_voxel_classifier')(x_conv4)
 
@@ -112,6 +120,7 @@ class SparseUnet(nn.Module):
         x = UpBlock(32, self.output_channels)(x, x_conv1, rb1, m1, rb1, m1, train)
 
         voxel_out = nn.Dense(self.num_classes, use_bias=False,
+                             dtype=jnp.float32,
                              kernel_init=nn.initializers.kaiming_normal(),
                              name='voxel_classifier')(x)
         return {

@@ -26,9 +26,10 @@ class DeepFusionBlock(nn.Module):
                  train: bool):
         """points_xyz [B,P,3], lidar_features [B,P,Cl], image_features [B,P,Ci]
         -> [B,P,Ci]."""
-        q = nn.Dense(self.hidden_channel)(lidar_features)
-        k = nn.Dense(self.hidden_channel)(image_features)
-        v = nn.Dense(self.hidden_channel)(image_features)
+        dt = lidar_features.dtype
+        q = nn.Dense(self.hidden_channel, dtype=dt)(lidar_features)
+        k = nn.Dense(self.hidden_channel, dtype=dt)(image_features.astype(dt))
+        v = nn.Dense(self.hidden_channel, dtype=dt)(image_features.astype(dt))
 
         knn_ids, _ = knn_query(self.n_neighbors, points_xyz, points_xyz,
                                point_mask, point_mask)
@@ -48,5 +49,5 @@ class DeepFusionBlock(nn.Module):
         vn = jnp.take_along_axis(v, safe.reshape(v.shape[0], -1, 1), axis=1) \
             .reshape(safe.shape + (self.hidden_channel,))
         out = jnp.einsum('bpk,bpkc->bpc', attn, vn)
-        out = nn.Dense(self.image_channel)(out)
+        out = nn.Dense(self.image_channel, dtype=dt)(out)
         return jnp.where(point_mask[..., None], out, 0)

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.scatter import segment_mean, segment_max
-from ..ops.sparse_conv import Rulebook, apply_sparse_conv
+from ..ops.sparse_conv import Rulebook, apply_sparse_conv, apply_subm
 from .norm import MaskedBatchNorm
 
 
@@ -28,7 +28,9 @@ class LinearBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
-        x = nn.Dense(self.features, use_bias=False,
+        # dtype-following: params stay f32, compute runs in the input dtype
+        # (bf16 on the production path, RUNTIME.COMPUTE_DTYPE)
+        x = nn.Dense(self.features, use_bias=False, dtype=x.dtype,
                      kernel_init=nn.initializers.kaiming_normal())(x)
         x = MaskedBatchNorm(momentum=self.bn_momentum, eps=self.bn_eps)(x, mask, train)
         if self.act:
@@ -47,7 +49,8 @@ class PointEncoder(nn.Module):
         x = MaskedBatchNorm(momentum=0.9, eps=1e-5)(points, mask, train)
         for h in self.hidden:
             x = LinearBNReLU(h)(x, mask, train)
-        x = nn.Dense(self.out_features, kernel_init=nn.initializers.kaiming_normal())(x)
+        x = nn.Dense(self.out_features, dtype=x.dtype,
+                     kernel_init=nn.initializers.kaiming_normal())(x)
         return jnp.where(mask[..., None], x, 0)
 
 
@@ -72,10 +75,11 @@ class FlattenSELayer(nn.Module):
         c = x.shape[-1]
         m = mask.astype(x.dtype)[..., None]
         pooled = jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1)  # [B, C]
-        s = nn.Dense(c // self.reduction, use_bias=False,
+        s = nn.Dense(c // self.reduction, use_bias=False, dtype=x.dtype,
                      kernel_init=nn.initializers.kaiming_normal())(pooled)
         s = nn.relu(s)
-        s = nn.Dense(c, use_bias=False, kernel_init=nn.initializers.kaiming_normal())(s)
+        s = nn.Dense(c, use_bias=False, dtype=x.dtype,
+                     kernel_init=nn.initializers.kaiming_normal())(s)
         s = nn.sigmoid(s)
         return x * s[:, None, :]
 
@@ -85,10 +89,11 @@ class SALayer(nn.Module):
     Takes the stage's precomputed subm rulebook."""
 
     @nn.compact
-    def __call__(self, features, rulebook: Rulebook, mask):
+    def __call__(self, features, rulebook, mask):
         cin = features.shape[-1]
         w = self.param('kernel', nn.initializers.kaiming_normal(), (27, cin, 1))
-        gate = apply_sparse_conv(features, rulebook, w, mask)
+        gate = apply_subm(features, rulebook, w, mask,
+                          compute_dtype=features.dtype)
         return features * nn.sigmoid(gate)
 
 

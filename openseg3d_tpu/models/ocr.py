@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.sparse_conv import Rulebook, apply_sparse_conv
+from ..ops.sparse_conv import Rulebook, apply_subm
 from .norm import MaskedBatchNorm
 
 
@@ -21,7 +21,7 @@ class _ProjectBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
-        x = nn.Dense(self.features, use_bias=False,
+        x = nn.Dense(self.features, use_bias=False, dtype=x.dtype,
                      kernel_init=nn.initializers.kaiming_normal())(x)
         x = MaskedBatchNorm(momentum=0.9, eps=1e-5)(x, mask, train)
         return nn.relu(x)
@@ -41,11 +41,13 @@ class OCRLayer(nn.Module):
     drop: float = 0.05
 
     @nn.compact
-    def __call__(self, features, probs, rulebook: Rulebook, mask, train: bool):
+    def __call__(self, features, probs, rulebook, mask, train: bool):
         # transform_input: subm 3^3 conv + BN + ReLU (ocr.py:88-92)
+        k3 = rulebook.in_idx.shape[1] if isinstance(rulebook, Rulebook) else 27
         w = self.param('transform_kernel', nn.initializers.kaiming_normal(),
-                       (rulebook.in_idx.shape[1], features.shape[-1], self.mid_channels))
-        feats = apply_sparse_conv(features, rulebook, w, mask)
+                       (k3, features.shape[-1], self.mid_channels))
+        feats = apply_subm(features, rulebook, w, mask,
+                           compute_dtype=features.dtype)
         feats = MaskedBatchNorm(momentum=0.9, eps=1e-5)(feats, mask, train)
         feats = nn.relu(feats)
 

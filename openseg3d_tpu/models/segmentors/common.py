@@ -38,6 +38,11 @@ class ModelSpec:
     window_bucket_fractions: tuple
     voxel_size: tuple
     point_cloud_range: tuple
+    compute_dtype: str = 'float32'
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
 
     @classmethod
     def from_config(cls, cfg: ConfigDict) -> 'ModelSpec':
@@ -64,9 +69,12 @@ class ModelSpec:
             depths=tuple(cfg.MODEL.DEPTHS),
             drop_path_rate=float(cfg.MODEL.DROP_PATH_RATE),
             batching_info=batching,
-            window_bucket_fractions=tuple(cfg.RUNTIME.WINDOW_BUCKET_FRACTIONS),
+            window_bucket_fractions=tuple(
+                tuple(f) if isinstance(f, (list, tuple)) else f
+                for f in cfg.RUNTIME.WINDOW_BUCKET_FRACTIONS),
             voxel_size=tuple(cfg.DATASET.VOXEL_SIZE),
             point_cloud_range=tuple(cfg.DATASET.POINT_CLOUD_RANGE),
+            compute_dtype=str(cfg.RUNTIME.COMPUTE_DTYPE),
         )
 
 
@@ -84,7 +92,8 @@ class SegmentorHead(nn.Module):
         x = x + FlattenSELayer()(x, cur_mask)
         x = LinearBNReLU(64)(x, cur_mask, train)
         x = nn.Dropout(0.3, deterministic=not train)(x)
-        point_out = nn.Dense(self.num_classes, use_bias=False,
+        # classifier logits in f32 (loss/metric numerics)
+        point_out = nn.Dense(self.num_classes, use_bias=False, dtype=jnp.float32,
                              kernel_init=nn.initializers.kaiming_normal())(x)
         return jnp.where(cur_mask[..., None], point_out, 0)
 
@@ -102,14 +111,18 @@ class PointBranch(nn.Module):
         cur_mask = batch['cur_point_mask'] & point_mask
         vids = batch['point_voxel_ids']          # sample-local slots
         v_cap = batch['voxel_coords'].shape[1]
+        dt = self.spec.dtype
 
+        # compute dtype boundary: everything downstream runs in
+        # RUNTIME.COMPUTE_DTYPE (bf16 in production); params stay f32
         point_per_features = PointEncoder(self.point_feature_channel)(
-            points, cur_mask, train)
+            points.astype(dt), cur_mask, train)
 
         if self.spec.use_multi_sweeps:
             # mean of raw multi-sweep points (segformer.py:34-36)
             src = jnp.where(point_mask[..., None], points, 0)
-            voxel_features = VFE(reduce='mean')(src, jnp.where(point_mask, vids, -1), v_cap)
+            voxel_features = VFE(reduce='mean')(
+                src, jnp.where(point_mask, vids, -1), v_cap).astype(dt)
         else:
             voxel_features = VFE(reduce='max')(
                 point_per_features, jnp.where(cur_mask, vids, -1), v_cap)

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.sparse_conv import Rulebook, apply_sparse_conv
+from ..ops.sparse_conv import Rulebook, apply_sparse_conv, apply_subm
 from .layers import FlattenSELayer, SALayer
 from .norm import MaskedBatchNorm
 
@@ -26,14 +26,14 @@ class SparseConv(nn.Module):
     use_bias: bool = False
 
     @nn.compact
-    def __call__(self, x, rulebook: Rulebook, out_mask):
-        k3 = rulebook.in_idx.shape[1]
+    def __call__(self, x, rulebook, out_mask):
+        k3 = rulebook.in_idx.shape[1] if isinstance(rulebook, Rulebook) else 27
         w = self.param('kernel', nn.initializers.kaiming_normal(),
                        (k3, x.shape[-1], self.features))
-        y = apply_sparse_conv(x, rulebook, w, out_mask)
+        y = apply_subm(x, rulebook, w, out_mask, compute_dtype=x.dtype)
         if self.use_bias:
             b = self.param('bias', nn.initializers.zeros, (self.features,))
-            y = jnp.where(out_mask[..., None], y + b, 0)
+            y = jnp.where(out_mask[..., None], y + b.astype(y.dtype), 0)
         return y
 
 

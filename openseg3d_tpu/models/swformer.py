@@ -21,33 +21,138 @@ from flax import linen as nn
 
 from ..ops.window import (WindowPartition, flat_to_window, window_to_flat,
                           window_mask, positional_embedding)
-from .cosine_attention import CosineMultiheadAttention
+from ..ops.attention import fused_window_attention_packed
+
+
+def level_offsets(levels):
+    """Row offsets of each level's [W_l*T_l] slot range in the combined
+    all-levels window buffer."""
+    offs = [0]
+    for sp in levels:
+        offs.append(offs[-1] + sp.num_windows * sp.max_tokens)
+    return tuple(offs)
+
+
+def combined_scatter_index(sp, levels):
+    """Per-voxel slot into the combined buffer (-1 = dropped): each voxel
+    belongs to exactly one level per shift, so the per-level scatter indices
+    merge into ONE index array -> ONE row-scatter per attention layer instead
+    of one per (level, tensor)."""
+    offs = level_offsets(levels)
+    comb = jnp.full_like(sp.scatter_idx[0], -1)
+    for li in range(len(levels)):
+        idx = sp.scatter_idx[li]
+        comb = jnp.where(idx >= 0, idx + offs[li], comb)
+    return comb
+
+
+def _head_l2norm(x, nhead: int, eps: float = 1e-12):
+    """Per-head L2 normalization on flat [..., C] features. rsqrt(sum^2+eps)
+    instead of x/|x|: |x| has a NaN gradient at x == 0 (padded rows)."""
+    shp = x.shape
+    xh = x.reshape(shp[:-1] + (nhead, shp[-1] // nhead)).astype(jnp.float32)
+    xh = xh * jax.lax.rsqrt(jnp.sum(jnp.square(xh), -1, keepdims=True) + eps)
+    return xh.reshape(shp)
 
 
 class WindowAttention(nn.Module):
+    """Cosine window MHA (CosineMultiheadAttention parity,
+    cosine_msa.py:413-501, _scaled_cosine_attention :115-177).
+
+    TPU-native data flow: the packed in_proj, per-head cosine normalization,
+    and the 1/tau scale all run on the FLAT [B, V, C] features (one pass per
+    layer instead of one per padded level buffer); only the normalized q/k/v
+    are scattered into the per-level [B, W, T, C] window buffers. In eval the
+    per-level attention core is a Pallas kernel that keeps its logits in VMEM
+    (ops/attention.py); in training it is an einsum with attention dropout
+    (the reference's attn_drop), recomputed under remat.
+    """
     d_model: int
     nhead: int
     levels: tuple            # static tuple[LevelSpec]
     shift: int
     attn_drop: float = 0.1
+    tau_min: float = 0.01
 
     @nn.compact
     def __call__(self, feat, windowed, part: WindowPartition, train: bool):
-        """feat [B, V, C]; windowed = per-level (pos3 [B,W,T,C], pad3 [B,W,T])
-        precomputed once per block (positional embedding and padding mask are
-        layer-invariant — hoisting them out of the 18-layer stack saves ~40% of
-        the attention data movement). One scatter + one gather per level:
-        v = scatter(feat), q = k = v + pos3 (WindowAttention.forward, :233-258)."""
+        """feat [B, V, C]; windowed = (pos [B,V,C] flat, per-level biases
+        [B,W,T], combined scatter index [B,V]) precomputed once per block
+        (layer-invariant)."""
         sp = part.shifts[self.shift]
-        attn = CosineMultiheadAttention(self.d_model, self.nhead, self.attn_drop)
-        out = jnp.zeros_like(feat)
-        for li, spec in enumerate(self.levels):
-            idx = sp.scatter_idx[li]
-            pos3, pad3 = windowed[li]
-            v3 = flat_to_window(feat, idx, spec)
-            q3 = v3 + pos3
-            o3 = attn(q3, q3, v3, pad3, train)
-            out = out + window_to_flat(o3, idx, spec)
+        pos, biases = windowed[0], windowed[1]
+        c, h = self.d_model, self.nhead
+        b, v, _ = feat.shape
+
+        # torch MHA packs q,k,v into one in_proj (cosine_msa.py:446-470);
+        # q and k both project feat+pos, v projects feat (:233-258). The
+        # packed output stays FLAT [.., 3C]: a [.., 3, C] output would tile-pad
+        # (3, C) -> (8, 128) on TPU (7x memory inflation); lane slices of the
+        # flat form are contiguous.
+        qkv = nn.Dense(3 * c, name='in_proj', dtype=feat.dtype,
+                       kernel_init=nn.initializers.xavier_uniform())
+        qk_in = qkv(feat + pos)
+        q, k = qk_in[..., :c], qk_in[..., c:2 * c]
+        val = qkv(feat)[..., 2 * c:]
+
+        tau = self.param('tau', nn.initializers.constant(0.1), (h,))
+        scale = 1.0 / jnp.maximum(tau, self.tau_min)          # [h]
+        scale_c = jnp.repeat(scale, c // h)                   # [C]
+        q = (_head_l2norm(q, h) * scale_c).astype(feat.dtype)
+        k = _head_l2norm(k, h).astype(feat.dtype)
+
+        # all levels fit the kernel in bf16; very large single-window levels
+        # (f32 T=800 x C=384) would overflow the 16M scoped VMEM
+        fits = all(sp_.max_tokens * c * q.dtype.itemsize <= 1_100_000
+                   for sp_ in self.levels)
+        use_kernel = (not train) and jax.default_backend() == 'tpu' and fits
+
+        if use_kernel:
+            # ONE row-scatter of the packed q|k|v into the combined all-levels
+            # buffer, one kernel per level on its static row range, ONE gather
+            # back (scatter/gather cost is per row; the per-(level,tensor)
+            # form was 16 row ops per layer, profiled ~0.8ms each)
+            comb = windowed[2]                                # [B, V]
+            offs = level_offsets(self.levels)
+            pack = jnp.concatenate([q, k, val], axis=-1)      # [B, V, 3C]
+            tgt = jnp.where(comb >= 0, comb, offs[-1])
+            big = jnp.zeros((b, offs[-1], 3 * c), pack.dtype)
+            big = jax.vmap(lambda o, t_, f: o.at[t_].set(f, mode='drop',
+                                                         unique_indices=True))(
+                big, tgt, pack)
+            outs = []
+            for li, spec in enumerate(self.levels):
+                w, t = spec.num_windows, spec.max_tokens
+                seg = big[:, offs[li]:offs[li + 1]].reshape(b * w, t, 3 * c)
+                o3 = fused_window_attention_packed(
+                    seg, biases[li].reshape(b * w, t), nhead=h)
+                outs.append(o3.reshape(b, w * t, c))
+            cat = jnp.concatenate(outs, axis=1)               # [B, total, C]
+            g3 = jnp.take_along_axis(cat, jnp.maximum(comb, 0)[..., None],
+                                     axis=1)
+            out = jnp.where((comb >= 0)[..., None], g3, 0).astype(jnp.float32)
+        else:
+            out = jnp.zeros((b, v, c), jnp.float32)
+            for li, spec in enumerate(self.levels):
+                idx = sp.scatter_idx[li]
+                q3 = flat_to_window(q, idx, spec)
+                k3 = flat_to_window(k, idx, spec)
+                v3 = flat_to_window(val, idx, spec)
+                bias3 = biases[li]                             # [B, W, T]
+                w, t = spec.num_windows, spec.max_tokens
+                hd = c // h
+                qh = q3.reshape(b, w, t, h, hd).astype(jnp.float32)
+                kh = k3.reshape(b, w, t, h, hd).astype(jnp.float32)
+                vh = v3.reshape(b, w, t, h, hd).astype(jnp.float32)
+                logits = jnp.einsum('bwthd,bwshd->bwhts', qh, kh)
+                logits = logits + bias3[:, :, None, None, :]
+                attn = jax.nn.softmax(logits, axis=-1)
+                attn = nn.Dropout(self.attn_drop,
+                                  deterministic=not train)(attn)
+                o3 = jnp.einsum('bwhts,bwshd->bwthd', attn, vh
+                                ).reshape(b, w, t, c)
+                out = out + window_to_flat(o3, idx, spec).astype(jnp.float32)
+        out = nn.Dense(c, name='out_proj', dtype=feat.dtype)(out.astype(feat.dtype))
         return out
 
 
@@ -58,10 +163,10 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Dense(self.hidden)(x)
+        x = nn.Dense(self.hidden, dtype=x.dtype)(x)
         x = nn.gelu(x)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
-        x = nn.Dense(self.out)(x)
+        x = nn.Dense(self.out, dtype=x.dtype)(x)
         return nn.Dropout(self.drop, deterministic=not train)(x)
 
 
@@ -97,9 +202,9 @@ class EncoderLayer(nn.Module):
             r1, r2 = jax.random.split(self.make_rng('dropout'))
         else:
             r1 = r2 = None
-        feat = feat + _drop_path(nn.LayerNorm()(a), dp_rate, r1, train)
+        feat = feat + _drop_path(nn.LayerNorm(dtype=a.dtype)(a), dp_rate, r1, train)
         m = MLP(self.mlp_hidden, self.d_model, self.drop)(feat, train)
-        feat = feat + _drop_path(nn.LayerNorm()(m), dp_rate, r2, train)
+        feat = feat + _drop_path(nn.LayerNorm(dtype=m.dtype)(m), dp_rate, r2, train)
         return feat, None
 
 
@@ -121,19 +226,19 @@ class SWFormerBlock(nn.Module):
         # drop everything the dual-shift caps dropped (keep_mask semantics)
         feat = jnp.where(part.keep[..., None], feat, 0)
 
-        # per (shift, level): windowed positional embedding + padding mask,
-        # computed ONCE per block and broadcast into the layer scan
+        # per shift: flat positional embedding; per level: additive key bias
+        # (0 valid / -1e9 padded) — computed ONCE per block and broadcast into
+        # the layer scan (layer-invariant)
         windowed = []
         for s in (0, 1):
             pos = positional_embedding(part.shifts[s].coors_in_win,
                                        self.window_shape, self.d_model).astype(feat.dtype)
-            per_level = []
-            for li, spec in enumerate(self.levels):
-                idx = part.shifts[s].scatter_idx[li]
-                pos3 = flat_to_window(pos, idx, spec)
-                pad3 = ~window_mask(idx, spec)
-                per_level.append((pos3, pad3))
-            windowed.append(tuple(per_level))
+            biases = tuple(
+                jnp.where(window_mask(part.shifts[s].scatter_idx[li], spec),
+                          0.0, -1e9).astype(jnp.float32)
+                for li, spec in enumerate(self.levels))
+            comb = combined_scatter_index(part.shifts[s], self.levels)
+            windowed.append((pos, biases, comb))
 
         hidden = int(self.d_model * self.mlp_ratio)
         rates = tuple(self.drop_path) if self.drop_path else (0.0,) * self.depth

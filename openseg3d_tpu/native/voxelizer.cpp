@@ -3,7 +3,8 @@
 // Native analog of the reference's numba kernel
 // (seg3d/core/voxel/voxel_generator.py:98-153) with identical semantics:
 // per-axis floor binning, strict [0, grid) bounds, zyx coords emitted in
-// first-seen point order, out-of-range points get id -1.
+// ascending linearized-key order (the device pipeline's planar submanifold
+// conv relies on sorted slot order), out-of-range points get id -1.
 //
 // Uses an open-addressing hash table over linearized keys instead of the
 // reference's dense grid canvas (1440*1440*64 int32 = 530 MB per worker);
@@ -17,6 +18,7 @@
 #include <cstring>
 #include <cmath>
 #include <vector>
+#include <algorithm>
 
 namespace {
 
@@ -89,6 +91,37 @@ int32_t voxelize(const float* points, int64_t n, int32_t dim,
             coords_out[idx * 3 + 2] = static_cast<int32_t>(cx);
         }
         point_voxel_ids[i] = idx;
+    }
+
+    // Renumber voxels into ascending linearized-key order. Downstream device
+    // code relies on key-sorted slot order (planar submanifold conv,
+    // ops/sparse_conv.py); the reference's first-seen order is an artifact of
+    // its canvas fill and is semantically a relabeling (SURVEY.md §7.3).
+    {
+        std::vector<int32_t> perm(static_cast<size_t>(num_voxels));
+        for (int32_t v = 0; v < num_voxels; ++v) perm[v] = v;
+        const int32_t* co = coords_out;
+        const int64_t lgy = gy, lgx = gx;
+        std::sort(perm.begin(), perm.end(), [co, lgy, lgx](int32_t a, int32_t b) {
+            const int64_t ka = (static_cast<int64_t>(co[a * 3]) * lgy + co[a * 3 + 1]) * lgx + co[a * 3 + 2];
+            const int64_t kb = (static_cast<int64_t>(co[b * 3]) * lgy + co[b * 3 + 1]) * lgx + co[b * 3 + 2];
+            return ka < kb;
+        });
+        std::vector<int32_t> old2new(static_cast<size_t>(num_voxels));
+        std::vector<int32_t> sorted_coords(static_cast<size_t>(num_voxels) * 3);
+        for (int32_t r = 0; r < num_voxels; ++r) {
+            const int32_t old = perm[r];
+            old2new[old] = r;
+            std::memcpy(&sorted_coords[static_cast<size_t>(r) * 3],
+                        &coords_out[static_cast<size_t>(old) * 3],
+                        3 * sizeof(int32_t));
+        }
+        std::memcpy(coords_out, sorted_coords.data(),
+                    sorted_coords.size() * sizeof(int32_t));
+        for (int64_t i = 0; i < n; ++i) {
+            if (point_voxel_ids[i] >= 0)
+                point_voxel_ids[i] = old2new[point_voxel_ids[i]];
+        }
     }
     return num_voxels;
 }

@@ -156,7 +156,8 @@ def _mirror_rows(rows_idx: jax.Array) -> jax.Array:
         src.reshape(-1), mode='drop', unique_indices=True).reshape(n, v)
 
 
-def _subm_rulebook_k3(coords: jax.Array, spatial_shape) -> jax.Array:
+def _subm_rulebook_k3(coords: jax.Array, spatial_shape,
+                      assume_sorted: bool = False) -> jax.Array:
     """3^3 submanifold rulebook with one V-sort + one 5V tagged sort.
 
     Key insight: in sorted-key order, the x-axis neighbors of any voxel are the
@@ -168,9 +169,14 @@ def _subm_rulebook_k3(coords: jax.Array, spatial_shape) -> jax.Array:
     valid = coords[..., 0] >= 0
     v = coords.shape[0]
     keys = linearize(coords, spatial_shape, valid=valid)
-    order = jnp.argsort(keys).astype(jnp.int32)
-    ks = keys[order]
     arange_v = jnp.arange(v, dtype=jnp.int32)
+    if assume_sorted:
+        # pipeline invariant: coords already ascending by key (voxelizer /
+        # downsample output order) — skip the identity argsort
+        order, ks = arange_v, keys
+    else:
+        order = jnp.argsort(keys).astype(jnp.int32)
+        ks = keys[order]
 
     def match_full(q):
         """q [M] plane-shifted keys -> (idx for dx=-1, 0, +1), each [M]."""
@@ -206,8 +212,11 @@ def _subm_rulebook_k3(coords: jax.Array, spatial_shape) -> jax.Array:
         return idx_m, idx0, idx_p
 
     # center plane (dz=0, dy=0): q == key, rank is its own position
-    pos_in_sorted = jnp.zeros(v, jnp.int32).at[order].set(arange_v,
-                                                          unique_indices=True)
+    if assume_sorted:
+        pos_in_sorted = arange_v
+    else:
+        pos_in_sorted = jnp.zeros(v, jnp.int32).at[order].set(
+            arange_v, unique_indices=True)
     nxt = jnp.clip(pos_in_sorted + 1, 0, v - 1)
     prv = jnp.clip(pos_in_sorted - 1, 0, v - 1)
     ok_p = valid & (ks[nxt] == keys + 1) & ((keys + 1) % gx != 0) & (pos_in_sorted + 1 < v)
@@ -247,10 +256,11 @@ def _subm_rulebook_k3(coords: jax.Array, spatial_shape) -> jax.Array:
     return jnp.stack(rows)
 
 
-def _subm_rulebook_single(coords: jax.Array, spatial_shape, kernel_size: int) -> jax.Array:
+def _subm_rulebook_single(coords: jax.Array, spatial_shape, kernel_size: int,
+                          assume_sorted: bool = False) -> jax.Array:
     """[V,3] zyx -> in_idx [K^3, V]; submanifold: outputs == inputs."""
     if kernel_size == 3:
-        return _subm_rulebook_k3(coords, spatial_shape)
+        return _subm_rulebook_k3(coords, spatial_shape, assume_sorted)
     # generic fallback: search the lower half via one tagged merge-sort,
     # mirror the rest
     valid = coords[..., 0] >= 0
@@ -341,9 +351,11 @@ def _downsample_single(coords: jax.Array, spatial_shape, out_shape,
     return out_coords, rule_in_idx, inv_in_idx, num_out
 
 
-def build_subm_rulebook(st: SparseTensor, kernel_size: int = 3) -> Rulebook:
+def build_subm_rulebook(st: SparseTensor, kernel_size: int = 3,
+                        assume_sorted: bool = False) -> Rulebook:
     in_idx = jax.vmap(partial(_subm_rulebook_single, spatial_shape=st.spatial_shape,
-                              kernel_size=kernel_size))(st.coords)
+                              kernel_size=kernel_size,
+                              assume_sorted=assume_sorted))(st.coords)
     return Rulebook(in_idx=in_idx)
 
 
@@ -521,6 +533,49 @@ def build_planar_subm_rulebook(st: SparseTensor) -> PlanarRulebook:
     sort_by_key once per stage — downsample outputs are already sorted)."""
     base, wsel = jax.vmap(partial(_planar_subm_single,
                                   spatial_shape=st.spatial_shape))(st.coords)
+    return PlanarRulebook(base=base, wsel=wsel)
+
+
+def apply_subm(features: jax.Array, rulebook, weights: jax.Array,
+               out_mask: jax.Array, compute_dtype=None) -> jax.Array:
+    """Dispatch a 3^3 submanifold conv to the planar fast path or the generic
+    gather-GEMM path, depending on the rulebook type. weights [27, Cin, Cout]
+    either way (checkpoint-compatible)."""
+    if isinstance(rulebook, PlanarRulebook):
+        return apply_planar_subm_conv(features, rulebook, weights, out_mask,
+                                      compute_dtype)
+    return apply_sparse_conv(features, rulebook, weights, out_mask,
+                             compute_dtype)
+
+
+def planar_from_k3(rulebook: Rulebook) -> PlanarRulebook:
+    """Derive the planar structure from a k=3 subm rulebook built over
+    KEY-SORTED coords (the whole pipeline is key-sorted from the voxelizer on).
+
+    In sorted order the present (dx=-1,0,+1) neighbors of a voxel within one
+    (dz,dy) plane occupy consecutive table rows (integer keys: nothing sorts
+    between q-1 and q), so the 3-row window base is just the min present index
+    and wsel falls out of idx - base. This replaces the standalone planar
+    build's [9V,3] key gather + 10V tagged sort (the part that made planar a
+    wash, NOTES_NEXT.md) with O(27V) elementwise ops on top of the k3 build.
+    """
+    in_idx = rulebook.in_idx                    # [B, 27, V]
+    b, k3, v = in_idx.shape
+    assert k3 == 27, k3
+    tri = in_idx.reshape(b, 9, 3, v)            # raster order: dx minor
+    present = tri >= 0
+    big = jnp.where(present, tri, jnp.iinfo(jnp.int32).max)
+    base = jnp.min(big, axis=2)                 # [B, 9, V]
+    base = jnp.clip(jnp.where(base == jnp.iinfo(jnp.int32).max, 0, base),
+                    0, max(v - 3, 0))
+    wsel = jnp.full((b, 9, v, 3), 2, jnp.int8)
+    for w in range(3):
+        row = base + w
+        sel = jnp.full((b, 9, v), 2, jnp.int8)
+        for dxi in (2, 1, 0):                   # earlier dx wins ties (none occur)
+            m = present[:, :, dxi] & (tri[:, :, dxi] == row)
+            sel = jnp.where(m, jnp.int8(dxi - 1), sel)
+        wsel = wsel.at[..., w].set(sel)
     return PlanarRulebook(base=base, wsel=wsel)
 
 

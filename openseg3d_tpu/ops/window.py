@@ -56,12 +56,21 @@ class WindowPartition(NamedTuple):
     keep: jax.Array        # [B, V] final keep mask (both shifts' caps)
 
 
-def make_level_specs(batching_info, voxel_capacity: int, fraction: float) -> tuple:
-    """Static per-level window capacities: each bucket may hold up to
-    `fraction * voxel_capacity` tokens."""
+def make_level_specs(batching_info, voxel_capacity: int, fraction) -> tuple:
+    """Static per-level window capacities: level l may hold up to
+    `fraction[l] * voxel_capacity` tokens (a scalar fraction applies to every
+    level). Window counts round up to the level's LARGEST possible
+    fused-attention group size (attention_group at default channel budget);
+    every runtime group size divides it, and large-T levels round to 1 instead
+    of a blanket constant (which would inflate small configs 8x)."""
+    from .attention import attention_group
     specs = []
-    for _, (max_tokens, lower, upper) in batching_info:
-        w = max(1, int(math.ceil(fraction * voxel_capacity / max_tokens)))
+    if not isinstance(fraction, (list, tuple)):
+        fraction = [fraction] * len(batching_info)
+    for (_, (max_tokens, lower, upper)), frac in zip(batching_info, fraction):
+        w = max(1, int(math.ceil(frac * voxel_capacity / max_tokens)))
+        g = attention_group(max_tokens)
+        w = (w + g - 1) // g * g
         specs.append(LevelSpec(max_tokens, lower, upper, w))
     return tuple(specs)
 

@@ -1,0 +1,95 @@
+"""Fused window attention kernel vs pure-XLA oracle.
+
+The Pallas kernel runs in interpret mode on CPU (tests/conftest.py forces
+JAX_PLATFORMS=cpu); on TPU the same kernel compiles via Mosaic and is
+exercised by bench.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openseg3d_tpu.ops.attention import (attention_group,
+                                         fused_window_attention,
+                                         reference_window_attention)
+
+
+def _case(rng, n, t, c, frac_pad):
+    q = jnp.asarray(rng.randn(n, t, c), jnp.float32)
+    k = jnp.asarray(rng.randn(n, t, c), jnp.float32)
+    v = jnp.asarray(rng.randn(n, t, c), jnp.float32)
+    valid = rng.rand(n, t) > frac_pad
+    valid[:, 0] = True                      # at least one valid key per window
+    bias = jnp.where(jnp.asarray(valid), 0.0, -1e9).astype(jnp.float32)
+    return q, k, v, bias
+
+
+@pytest.mark.parametrize('t,c,nhead', [(16, 48, 8), (64, 48, 8),
+                                       (256, 96, 8), (800, 384, 8)])
+def test_kernel_matches_oracle(t, c, nhead):
+    rng = np.random.RandomState(0)
+    g = attention_group(t)
+    n = 2 * g
+    q, k, v, bias = _case(rng, n, t, c, frac_pad=0.4)
+    got = fused_window_attention(q, k, v, bias, nhead=nhead, interpret=True)
+    want = reference_window_attention(q, k, v, bias, nhead=nhead)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fully_padded_window_is_finite_and_ignored():
+    rng = np.random.RandomState(1)
+    t, c = 16, 48
+    g = attention_group(t)
+    q, k, v, bias = _case(rng, g, t, c, frac_pad=0.0)
+    bias = bias.at[0].set(-1e9)             # window 0 fully padded
+    got = fused_window_attention(q, k, v, bias, nhead=8, interpret=True)
+    assert np.isfinite(np.asarray(got)).all()
+
+
+def test_bfloat16_inputs():
+    rng = np.random.RandomState(2)
+    t, c = 32, 96
+    g = attention_group(t)
+    q, k, v, bias = _case(rng, g, t, c, frac_pad=0.3)
+    got = fused_window_attention(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                                 v.astype(jnp.bfloat16), bias, nhead=8,
+                                 interpret=True)
+    want = reference_window_attention(q.astype(jnp.bfloat16),
+                                      k.astype(jnp.bfloat16),
+                                      v.astype(jnp.bfloat16), bias, nhead=8)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_block_diagonality():
+    """A window's output must not depend on other windows in the same group."""
+    rng = np.random.RandomState(3)
+    t, c = 16, 48
+    g = attention_group(t)
+    q, k, v, bias = _case(rng, g, t, c, frac_pad=0.0)
+    base = np.asarray(fused_window_attention(q, k, v, bias, nhead=8,
+                                             interpret=True))
+    v2 = v.at[1].add(100.0)                  # perturb window 1 only
+    out2 = np.asarray(fused_window_attention(q, k, v2, bias, nhead=8,
+                                             interpret=True))
+    np.testing.assert_allclose(out2[0], base[0], rtol=1e-5, atol=1e-5)
+    assert np.abs(out2[1] - base[1]).max() > 1.0
+
+
+def test_packed_matches_unpacked():
+    from openseg3d_tpu.ops.attention import fused_window_attention_packed
+    rng = np.random.RandomState(5)
+    for t, c in ((16, 48), (64, 96), (800, 384)):
+        g = attention_group(t, c, 4)
+        n = 2 * max(g, 1)
+        q, k, v, bias = _case(rng, n, t, c, frac_pad=0.3)
+        packed = jnp.concatenate([q, k, v], axis=-1)
+        got = fused_window_attention_packed(packed, bias, nhead=8,
+                                            interpret=True)
+        want = reference_window_attention(q, k, v, bias, nhead=8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)

@@ -23,14 +23,37 @@ def test_segformer_train_and_eval():
     train_step = make_train_step(cfg, spec, model, donate=False)
     rng = jax.random.PRNGKey(0)
     losses = []
-    for _ in range(3):
+    for _ in range(6):
         state, metrics = train_step(state, batch, rng)
         losses.append(float(metrics['loss']))
     assert np.isfinite(losses).all(), losses
-    assert losses[-1] < losses[0], losses
+    # single-batch SGD is noisy step to step; require net descent
+    assert min(losses[3:]) < losses[0], losses
 
     eval_step = make_eval_step(cfg, spec, model)
     out = eval_step(state, batch)
     assert np.isfinite(float(out['loss']))
     n_valid = int(np.sum(np.array(batch['point_mask']) & np.array(batch['cur_point_mask'])))
     assert int(np.array(out['hist']).sum()) == n_valid
+
+
+def test_segformer_bfloat16_eval_consistent_with_f32():
+    """The production COMPUTE_DTYPE=bfloat16 path must produce finite logits
+    whose argmax broadly agrees with the f32 path (same params)."""
+    outs = {}
+    for dt in ('float32', 'bfloat16'):
+        cfg = tiny_cfg(MODEL={'SEGMENTOR': 'segformer', 'DEPTHS': [2, 2, 2, 2]},
+                       RUNTIME={'COMPUTE_DTYPE': dt})
+        batch = {k: jnp.asarray(v) for k, v in synthetic_batch(cfg).items()
+                 if k != 'batch_size'}
+        model, spec = build_segmentor(cfg)
+        tx = build_optimizer(cfg, build_schedule(cfg, 1, 100))
+        state = create_train_state(cfg, model, tx, batch, seed=0)
+        variables = {'params': state.params, 'batch_stats': state.batch_stats}
+        out = jax.jit(lambda b: model.apply(variables, b, train=False))(batch)
+        outs[dt] = np.asarray(out['point_out'], np.float32)
+        assert np.isfinite(outs[dt]).all()
+        assert out['point_out'].dtype == jnp.float32
+    mask = np.abs(outs['float32']).sum(-1) > 0
+    agree = (outs['float32'].argmax(-1) == outs['bfloat16'].argmax(-1))[mask].mean()
+    assert agree > 0.85, agree

@@ -206,3 +206,69 @@ def test_planar_subm_all_padding():
 
     out = np.asarray(planar(st))
     assert np.isfinite(out).all() and (out == 0).all()
+
+
+def test_planar_from_k3_matches_gather_gemm():
+    """planar_from_k3 over key-sorted coords == the gather-GEMM subm conv
+    (the production path: build_unet_plans derives planar structure from the
+    k3 rulebook under the sorted-slot pipeline invariant)."""
+    from openseg3d_tpu.ops.sparse_conv import (
+        sort_by_key, planar_from_k3, apply_planar_subm_conv,
+        build_subm_rulebook as raw_subm_rulebook)
+    rng = np.random.RandomState(13)
+    st = make_sparse(rng, b=2, v_cap=128, n_active=100, shape=(9, 7, 5), c=8)
+    sst, _ = sort_by_key(st)           # establish the pipeline invariant
+    w = jnp.asarray(rng.randn(27, 8, 6).astype(np.float32) * 0.1)
+
+    @jax.jit
+    def run(sst):
+        rb = raw_subm_rulebook(sst, 3, assume_sorted=True)
+        ref = apply_sparse_conv(sst.features, rb, w, sst.mask)
+        got = apply_planar_subm_conv(sst.features, planar_from_k3(rb), w, sst.mask)
+        return ref, got
+
+    ref, got = run(sst)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_planar_from_k3_dense_grid_edges():
+    """Fully dense tiny grid: every boundary/clamp case of the 3-row window."""
+    from openseg3d_tpu.ops.sparse_conv import (
+        planar_from_k3, apply_planar_subm_conv,
+        build_subm_rulebook as raw_subm_rulebook)
+    shape = (3, 4, 5)
+    total = shape[0] * shape[1] * shape[2]
+    lin = np.arange(total)
+    z = lin // (shape[1] * shape[2])
+    y = (lin // shape[2]) % shape[1]
+    x = lin % shape[2]
+    coords = np.stack([z, y, x], 1).astype(np.int32)[None]    # key-sorted
+    rng = np.random.RandomState(14)
+    feats = jnp.asarray(rng.randn(1, total, 4).astype(np.float32))
+    st = SparseTensor(features=feats, coords=jnp.asarray(coords),
+                      spatial_shape=shape)
+    w = jnp.asarray(rng.randn(27, 4, 3).astype(np.float32) * 0.1)
+    rb = jax.jit(raw_subm_rulebook, static_argnums=(1, 2))(st, 3, True)
+    ref = apply_sparse_conv(st.features, rb, w, st.mask)
+    got = apply_planar_subm_conv(st.features, planar_from_k3(rb), w, st.mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_voxelizer_emits_sorted_slots():
+    """Pipeline invariant: voxel slot order is ascending linearized-key order
+    (planar subm conv depends on it)."""
+    from openseg3d_tpu.core.voxelizer import VoxelGenerator
+    rng = np.random.RandomState(15)
+    pts = rng.uniform(-5, 5, (5000, 5)).astype(np.float32)
+    vg = VoxelGenerator([0.5, 0.5, 0.5], [-5, -5, -5, 5, 5, 5])
+    coords, ids = vg.generate(pts)
+    gz, gy, gx = 20, 20, 20
+    keys = (coords[:, 0].astype(np.int64) * gy + coords[:, 1]) * gx + coords[:, 2]
+    assert (np.diff(keys) > 0).all()
+    # ids consistent with coords
+    ok = ids >= 0
+    c = np.floor((pts[ok, :3] + 5) / 0.5).astype(np.int64)
+    np.testing.assert_array_equal(coords[ids[ok]],
+                                  np.stack([c[:, 2], c[:, 1], c[:, 0]], 1))

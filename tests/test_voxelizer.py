@@ -29,11 +29,19 @@ def test_matches_reference_semantics():
     points = rng.uniform(-5, 5, size=(2000, 6)).astype(np.float32)
     vs = [0.5, 0.5, 0.25]
     rg = [-4, -4, -1, 4, 4, 2]
-    coords, ids = points_to_voxel(points, vs, rg)
     ref_coords, ref_ids = _reference_points_to_voxel(points, np.array(vs, np.float32),
                                                      np.array(rg, np.float32))
+    # first-seen mode: bit-exact reference parity
+    coords, ids = points_to_voxel(points, vs, rg, preserve_order=True)
     np.testing.assert_array_equal(coords, ref_coords)
     np.testing.assert_array_equal(ids, ref_ids)
+    # default (key-sorted) mode: same voxel set/assignment up to relabeling
+    coords_s, ids_s = points_to_voxel(points, vs, rg)
+    np.testing.assert_array_equal(np.sort(ref_coords.view('i4,i4,i4'), 0),
+                                  np.sort(coords_s.view('i4,i4,i4'), 0))
+    np.testing.assert_array_equal(ids_s >= 0, ref_ids >= 0)
+    ok = ids_s >= 0
+    np.testing.assert_array_equal(coords_s[ids_s[ok]], ref_coords[ref_ids[ok]])
 
 
 def test_out_of_range_points_get_minus_one():

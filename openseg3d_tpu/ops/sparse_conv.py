@@ -568,15 +568,15 @@ def planar_from_k3(rulebook: Rulebook) -> PlanarRulebook:
     base = jnp.min(big, axis=2)                 # [B, 9, V]
     base = jnp.clip(jnp.where(base == jnp.iinfo(jnp.int32).max, 0, base),
                     0, max(v - 3, 0))
-    wsel = jnp.full((b, 9, v, 3), 2, jnp.int8)
+    sels = []
     for w in range(3):
         row = base + w
         sel = jnp.full((b, 9, v), 2, jnp.int8)
         for dxi in (2, 1, 0):                   # earlier dx wins ties (none occur)
             m = present[:, :, dxi] & (tri[:, :, dxi] == row)
             sel = jnp.where(m, jnp.int8(dxi - 1), sel)
-        wsel = wsel.at[..., w].set(sel)
-    return PlanarRulebook(base=base, wsel=wsel)
+        sels.append(sel)
+    return PlanarRulebook(base=base, wsel=jnp.stack(sels, axis=-1))
 
 
 def apply_planar_subm_conv(features: jax.Array, rulebook: PlanarRulebook,

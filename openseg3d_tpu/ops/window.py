@@ -116,46 +116,76 @@ def _bucket_level(occ, valid, levels: Sequence[LevelSpec]):
     return lvl, cap
 
 
-def _ranks_and_window_index(win_id, mask):
-    """One argsort -> (inner rank within window, dense window rank) over the
-    masked set. Masked-out voxels get rank 0/-1."""
+class _SortedStructure(NamedTuple):
+    """ONE argsort per shift; every later phase (cap-drops with different
+    masks, per-level scatter indices over the final set) is a segment scan
+    over this fixed order. Replaces the previous 5 argsorts per shift."""
+    order: jax.Array      # [V] original index of sorted row
+    is_new: jax.Array     # [V] first row of its window (sorted order)
+
+
+def _sorted_structure(win_id, valid) -> _SortedStructure:
     v = win_id.shape[0]
-    key = jnp.where(mask, win_id, INT32_MAX)
-    order = jnp.argsort(key, stable=True)
+    key = jnp.where(valid, win_id, INT32_MAX)
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
     sk = key[order]
-    pos = jnp.arange(v, dtype=jnp.int32)
-    is_new = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]]) & (sk != INT32_MAX)
-    run_start = cummax(jnp.where(is_new, pos, 0))
-    inner_sorted = pos - run_start
-    wrank_sorted = jnp.cumsum(is_new) - 1
-    inner = jnp.zeros(v, jnp.int32).at[order].set(inner_sorted, unique_indices=True)
-    wrank = jnp.full(v, -1, jnp.int32).at[order].set(
-        jnp.where(sk != INT32_MAX, wrank_sorted, -1), unique_indices=True)
-    n_windows = jnp.sum(is_new).astype(jnp.int32)
-    return inner, wrank, n_windows
+    is_new = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    return _SortedStructure(order=order, is_new=is_new & (sk != INT32_MAX))
 
 
-def _single_shift_keep(win_id, valid, num_win_total, levels):
+def _masked_inner_rank(ss: _SortedStructure, mask):
+    """#mask-True rows before me within my window -> original positions; also
+    the 'first kept row of its window' flag (original positions)."""
+    v = ss.order.shape[0]
+    ms = mask[ss.order].astype(jnp.int32)
+    c = jnp.cumsum(ms)
+    e = c - ms                                      # exclusive global prefix
+    run_e = cummax(jnp.where(ss.is_new, e, -1))     # e at my window's 1st row
+    inner_sorted = e - jnp.maximum(run_e, 0)
+    inner = jnp.zeros(v, jnp.int32).at[ss.order].set(inner_sorted,
+                                                     unique_indices=True)
+    first_sorted = (ms > 0) & (inner_sorted == 0)
+    first = jnp.zeros(v, bool).at[ss.order].set(first_sorted,
+                                                unique_indices=True)
+    return inner, first
+
+
+def _single_shift_keep(ss: _SortedStructure, win_id, valid, num_win_total,
+                       levels):
     """batching_single_shift (point_transformer_layer.py:71-87): keep_mask +
     level per voxel."""
     occ = _occupancy(win_id, valid, num_win_total)
     lvl, cap = _bucket_level(occ, valid, levels)
-    inner, _, _ = _ranks_and_window_index(win_id, valid)
+    inner, _ = _masked_inner_rank(ss, valid)
     keep = valid & (inner < cap)
     return keep, lvl
 
 
-def _shift_partition(win_id, ciw, final, lvl, levels):
-    """Build per-level scatter indices over the final kept set."""
-    scatter_idx = []
-    num_windows = []
+def _shift_partition(ss: _SortedStructure, final, lvl, levels):
+    """Per-level scatter indices over the final kept set, all derived from the
+    shift's single sorted order.
+
+    inner ranks use mask=final only: a window's voxels all share one level, so
+    final & (lvl==li) within a window equals final. Window ranks within level
+    li = running count of 'first kept row' markers of level-li windows,
+    propagated window-wide by a cummax (a window's rows are contiguous in
+    sorted order and level-li window ranks are strictly increasing)."""
+    v = ss.order.shape[0]
+    inner, first = _masked_inner_rank(ss, final)
+    fk = first[ss.order]
+    lv = lvl[ss.order]
+    scatter_idx, num_windows = [], []
     for li, s in enumerate(levels):
+        marks = (fk & (lv == li)).astype(jnp.int32)
+        wr_sorted = jnp.cumsum(marks) - 1
+        carried = cummax(jnp.where(marks > 0, wr_sorted, -1))
+        wrank = jnp.full(v, -1, jnp.int32).at[ss.order].set(
+            jnp.where(lv == li, carried, -1), unique_indices=True)
         m = final & (lvl == li)
-        inner, wrank, n_win = _ranks_and_window_index(win_id, m)
         ok = m & (wrank >= 0) & (wrank < s.num_windows) & (inner < s.max_tokens)
-        idx = jnp.where(ok, wrank * s.max_tokens + inner, -1)
-        scatter_idx.append(idx.astype(jnp.int32))
-        num_windows.append(n_win)
+        scatter_idx.append(jnp.where(ok, wrank * s.max_tokens + inner,
+                                     -1).astype(jnp.int32))
+        num_windows.append(jnp.sum(marks).astype(jnp.int32))
     return tuple(scatter_idx), jnp.stack(num_windows)
 
 
@@ -165,17 +195,21 @@ def build_window_partition(coords, valid, sparse_shape, window_shape,
 
     Mirrors batching_voxel (point_transformer_layer.py:89-139): shift-0 caps
     drop first, shift-1 caps drop from the survivors, and both shifts' final
-    indices are built over the surviving set.
+    indices are built over the surviving set. TWO argsorts total (one per
+    shift); all cap/partition phases are segment scans over those orders.
     """
     win0, ciw0, ntot = window_coords(coords, valid, sparse_shape, window_shape, False)
     win1, ciw1, _ = window_coords(coords, valid, sparse_shape, window_shape, True)
 
-    keep0, lvl0 = _single_shift_keep(win0, valid, ntot, levels)
-    keep1, lvl1 = _single_shift_keep(win1, keep0, ntot, levels)
+    ss0 = _sorted_structure(win0, valid)
+    ss1 = _sorted_structure(win1, valid)
+
+    keep0, lvl0 = _single_shift_keep(ss0, win0, valid, ntot, levels)
+    keep1, lvl1 = _single_shift_keep(ss1, win1, keep0, ntot, levels)
     final = keep1  # keep1 already includes keep0
 
-    s0_idx, s0_nw = _shift_partition(win0, ciw0, final, lvl0, levels)
-    s1_idx, s1_nw = _shift_partition(win1, ciw1, final, lvl1, levels)
+    s0_idx, s0_nw = _shift_partition(ss0, final, lvl0, levels)
+    s1_idx, s1_nw = _shift_partition(ss1, final, lvl1, levels)
 
     shift0 = ShiftPartition(scatter_idx=s0_idx, level=jnp.where(final, lvl0, -1),
                             coors_in_win=ciw0, num_windows=s0_nw)

@@ -194,21 +194,40 @@ def _subm_rulebook_k3(coords: jax.Array, spatial_shape,
         r = jnp.zeros(m, jnp.int32).at[qtgt].set(
             ranks.astype(jnp.int32), mode='drop', unique_indices=True)
 
+        def row_of(pos):
+            """sorted-row -> original index; identity under assume_sorted
+            (order == iota), which XLA does not fold away on its own — this
+            skips a [4V]-row gather per call site."""
+            clipped = jnp.clip(pos, 0, v - 1)
+            return clipped if assume_sorted else order[clipped]
+
+        # all three candidate keys (rows r-2..r of ks) come from ONE 3-row
+        # window gather; per-candidate rows are then picked with cheap
+        # elementwise selects (three separate [M]-row gathers cost ~3x more —
+        # gathers are row-count-bound)
+        base2 = jnp.clip(r - 2, 0, max(v - 3, 0))
+        kwin = jax.vmap(lambda s: jax.lax.dynamic_slice(ks, (s,), (3,)))(base2)
+
+        def at_row(pos):
+            i = jnp.clip(pos - base2, 0, 2)
+            return jnp.where(i == 0, kwin[:, 0],
+                             jnp.where(i == 1, kwin[:, 1], kwin[:, 2]))
+
         qs = q != INT32_SENTINEL
-        km1 = ks[jnp.clip(r - 1, 0, v - 1)]
+        km1 = at_row(r - 1)
         eq0 = qs & (r >= 1) & (km1 == q)
-        idx0 = jnp.where(eq0, order[jnp.clip(r - 1, 0, v - 1)], -1)
+        idx0 = jnp.where(eq0, row_of(r - 1), -1)
 
         # dx = -1: key q-1 sits just below q's matches
         pos_m = r - 1 - eq0.astype(jnp.int32)
-        cand_m = ks[jnp.clip(pos_m, 0, v - 1)]
+        cand_m = at_row(pos_m)
         ok_m = qs & (pos_m >= 0) & (cand_m == q - 1) & (q % gx != 0)
-        idx_m = jnp.where(ok_m, order[jnp.clip(pos_m, 0, v - 1)], -1)
+        idx_m = jnp.where(ok_m, row_of(pos_m), -1)
 
         # dx = +1: the smallest key > q is at rank r
-        cand_p = ks[jnp.clip(r, 0, v - 1)]
+        cand_p = at_row(r)
         ok_p = qs & (r < v) & (cand_p == q + 1) & ((q + 1) % gx != 0)
-        idx_p = jnp.where(ok_p, order[jnp.clip(r, 0, v - 1)], -1)
+        idx_p = jnp.where(ok_p, row_of(r), -1)
         return idx_m, idx0, idx_p
 
     # center plane (dz=0, dy=0): q == key, rank is its own position
@@ -221,9 +240,9 @@ def _subm_rulebook_k3(coords: jax.Array, spatial_shape,
     prv = jnp.clip(pos_in_sorted - 1, 0, v - 1)
     ok_p = valid & (ks[nxt] == keys + 1) & ((keys + 1) % gx != 0) & (pos_in_sorted + 1 < v)
     ok_m = valid & (ks[prv] == keys - 1) & (keys % gx != 0) & (pos_in_sorted > 0)
-    c_m = jnp.where(ok_m, order[prv], -1)
+    c_m = jnp.where(ok_m, prv if assume_sorted else order[prv], -1)
     c_0 = jnp.where(valid, arange_v, -1)
-    c_p = jnp.where(ok_p, order[nxt], -1)
+    c_p = jnp.where(ok_p, nxt if assume_sorted else order[nxt], -1)
 
     # four searched planes (their mirrors complete the 8)
     planes = ((0, 1), (1, -1), (1, 0), (1, 1))

@@ -133,37 +133,36 @@ def _sorted_structure(win_id, valid) -> _SortedStructure:
     return _SortedStructure(order=order, is_new=is_new & (sk != INT32_MAX))
 
 
-def _masked_inner_rank(ss: _SortedStructure, mask):
-    """#mask-True rows before me within my window -> original positions; also
-    the 'first kept row of its window' flag (original positions)."""
-    v = ss.order.shape[0]
-    ms = mask[ss.order].astype(jnp.int32)
+def _masked_inner_sorted(is_new, ms):
+    """ms: 0/1 int32 mask in SORTED order -> (inner rank among mask-True rows
+    of my window, first-kept-row flag), both in sorted order — pure scans, no
+    row-permutation ops."""
     c = jnp.cumsum(ms)
     e = c - ms                                      # exclusive global prefix
-    run_e = cummax(jnp.where(ss.is_new, e, -1))     # e at my window's 1st row
-    inner_sorted = e - jnp.maximum(run_e, 0)
-    inner = jnp.zeros(v, jnp.int32).at[ss.order].set(inner_sorted,
-                                                     unique_indices=True)
-    first_sorted = (ms > 0) & (inner_sorted == 0)
-    first = jnp.zeros(v, bool).at[ss.order].set(first_sorted,
-                                                unique_indices=True)
-    return inner, first
+    run_e = cummax(jnp.where(is_new, e, -1))        # e at my window's 1st row
+    inner_s = e - jnp.maximum(run_e, 0)
+    return inner_s, (ms > 0) & (inner_s == 0)
 
 
 def _single_shift_keep(ss: _SortedStructure, win_id, valid, num_win_total,
                        levels):
     """batching_single_shift (point_transformer_layer.py:71-87): keep_mask +
-    level per voxel."""
+    level per voxel. One packed row-gather in, one row-scatter out —
+    gathers/scatters are row-count-bound, so columns ride together."""
+    v = win_id.shape[0]
     occ = _occupancy(win_id, valid, num_win_total)
     lvl, cap = _bucket_level(occ, valid, levels)
-    inner, _ = _masked_inner_rank(ss, valid)
-    keep = valid & (inner < cap)
+    packed = jnp.stack([valid.astype(jnp.int32), cap], -1)[ss.order]
+    inner_s, _ = _masked_inner_sorted(ss.is_new, packed[:, 0])
+    keep_s = (packed[:, 0] > 0) & (inner_s < packed[:, 1])
+    keep = jnp.zeros(v, bool).at[ss.order].set(keep_s, unique_indices=True)
     return keep, lvl
 
 
 def _shift_partition(ss: _SortedStructure, final, lvl, levels):
     """Per-level scatter indices over the final kept set, all derived from the
-    shift's single sorted order.
+    shift's single sorted order — one packed row-gather in, one packed
+    row-scatter out.
 
     inner ranks use mask=final only: a window's voxels all share one level, so
     final & (lvl==li) within a window equals final. Window ranks within level
@@ -171,22 +170,23 @@ def _shift_partition(ss: _SortedStructure, final, lvl, levels):
     propagated window-wide by a cummax (a window's rows are contiguous in
     sorted order and level-li window ranks are strictly increasing)."""
     v = ss.order.shape[0]
-    inner, first = _masked_inner_rank(ss, final)
-    fk = first[ss.order]
-    lv = lvl[ss.order]
-    scatter_idx, num_windows = [], []
+    packed = jnp.stack([final.astype(jnp.int32), lvl], -1)[ss.order]
+    fin_s, lv = packed[:, 0], packed[:, 1]
+    inner_s, first_s = _masked_inner_sorted(ss.is_new, fin_s)
+    idx_cols, num_windows = [], []
     for li, s in enumerate(levels):
-        marks = (fk & (lv == li)).astype(jnp.int32)
+        marks = (first_s & (lv == li)).astype(jnp.int32)
         wr_sorted = jnp.cumsum(marks) - 1
         carried = cummax(jnp.where(marks > 0, wr_sorted, -1))
-        wrank = jnp.full(v, -1, jnp.int32).at[ss.order].set(
-            jnp.where(lv == li, carried, -1), unique_indices=True)
-        m = final & (lvl == li)
-        ok = m & (wrank >= 0) & (wrank < s.num_windows) & (inner < s.max_tokens)
-        scatter_idx.append(jnp.where(ok, wrank * s.max_tokens + inner,
-                                     -1).astype(jnp.int32))
+        ok = ((fin_s > 0) & (lv == li) & (carried >= 0) &
+              (carried < s.num_windows) & (inner_s < s.max_tokens))
+        idx_cols.append(jnp.where(ok, carried * s.max_tokens + inner_s,
+                                  -1).astype(jnp.int32))
         num_windows.append(jnp.sum(marks).astype(jnp.int32))
-    return tuple(scatter_idx), jnp.stack(num_windows)
+    idx_s = jnp.stack(idx_cols, axis=-1)            # [V, L] sorted order
+    idx = jnp.full((v, len(levels)), -1, jnp.int32).at[ss.order].set(
+        idx_s, unique_indices=True)
+    return tuple(idx[:, li] for li in range(len(levels))), jnp.stack(num_windows)
 
 
 def build_window_partition(coords, valid, sparse_shape, window_shape,

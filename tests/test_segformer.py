@@ -57,3 +57,43 @@ def test_segformer_bfloat16_eval_consistent_with_f32():
     mask = np.abs(outs['float32']).sum(-1) > 0
     agree = (outs['float32'].argmax(-1) == outs['bfloat16'].argmax(-1))[mask].mean()
     assert agree > 0.85, agree
+
+
+def test_segformer_with_image_features_deep_fusion():
+    """DeepFusion camera-feature branch is reachable from config
+    (DATASET.USE_IMAGE_FEATURE) and trains/evals finite (deep_fusion.py:26-45
+    parity)."""
+    cfg = tiny_cfg(MODEL={'SEGMENTOR': 'segformer', 'DEPTHS': [2, 2, 2, 2]},
+                   DATASET={'USE_IMAGE_FEATURE': True, 'DIM_IMAGE_FEATURE': 8})
+    rng = np.random.RandomState(3)
+    # build the batch with per-point image features attached
+    from openseg3d_tpu.core.voxelizer import VoxelGenerator, majority_voxel_labels
+    from openseg3d_tpu.data.batch import pad_sample, collate_padded
+    vg = VoxelGenerator(cfg.DATASET.VOXEL_SIZE, cfg.DATASET.POINT_CLOUD_RANGE)
+    rg = np.array(cfg.DATASET.POINT_CLOUD_RANGE)
+    samples = []
+    for i in range(2):
+        xyz = rng.uniform(rg[:3] * 0.95, rg[3:] * 0.95, (500, 3)).astype(np.float32)
+        pts = np.concatenate([xyz, rng.randn(500, cfg.DATASET.DIM_POINT - 3)
+                              .astype(np.float32)], 1)
+        coords, ids = vg.generate(pts)
+        labels = rng.randint(0, cfg.DATASET.NUM_CLASSES, 500)
+        imgf = rng.randn(500, 8).astype(np.float32)
+        imgf[::3] = 0.0                      # some points lack camera coverage
+        samples.append(dict(points=pts, voxel_coords=coords,
+                            point_voxel_ids=ids, point_labels=labels,
+                            voxel_labels=majority_voxel_labels(ids, labels, coords.shape[0]),
+                            point_image_features=imgf))
+    batch = collate_padded([pad_sample(s, cfg.RUNTIME.MAX_POINTS_PER_SAMPLE,
+                                       cfg.RUNTIME.MAX_VOXELS_PER_SAMPLE)
+                            for s in samples])
+    batch = {k: jnp.asarray(v) for k, v in batch.items() if k != 'batch_size'}
+    assert 'point_image_features' in batch
+
+    model, spec = build_segmentor(cfg)
+    assert spec.use_image_feature
+    tx = build_optimizer(cfg, build_schedule(cfg, 1, 100))
+    state = create_train_state(cfg, model, tx, batch, seed=0)
+    train_step = make_train_step(cfg, spec, model, donate=False)
+    state, metrics = train_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics['loss']))

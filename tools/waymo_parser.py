@@ -189,7 +189,10 @@ class WaymoParser:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--tfrecord_list', required=True)
+    # --tfrecord_list_file is the reference CLI's flag name
+    # (tools/waymo_parser.py:333); --tfrecord_list is kept as an alias
+    ap.add_argument('--tfrecord_list', '--tfrecord_list_file',
+                    dest='tfrecord_list', required=True)
     ap.add_argument('--save_dir', required=True)
     ap.add_argument('--num_workers', type=int, default=4)
     ap.add_argument('--test_mode', action='store_true')

@@ -71,26 +71,38 @@ class DataLoader:
         return max(total, 1)
 
     def __iter__(self) -> Iterator[dict]:
-        idx = process_shard_indices(
+        idx, valid = process_shard_indices(
             len(self.dataset), (self.seed if self.shuffle else None),
-            self.epoch, self.batch_size * _world())
+            self.epoch, self.batch_size * _world(), return_valid=True)
         n_batches = len(self)
         idx = idx[:n_batches * self.batch_size]
+        valid = valid[:n_batches * self.batch_size]
         batches = idx.reshape(-1, self.batch_size)
+        # With drop_last=False the epoch is padded by recycling samples;
+        # sample_valid marks the recycled slots so eval can exclude them from
+        # the IoU histogram (they'd otherwise be double counted).
+        valids = valid.reshape(-1, self.batch_size)
+
+        def _finish(batch, bvalid):
+            if not self.drop_last:
+                batch['sample_valid'] = np.asarray(bvalid, bool)
+            return batch
 
         if self._pool is None:
-            for b in batches:
-                yield collate_padded([self.dataset.load_padded(i)[0] for i in b])
+            for b, v in zip(batches, valids):
+                yield _finish(collate_padded(
+                    [self.dataset.load_padded(i)[0] for i in b]), v)
         else:
             # pipeline: keep 2 batches in flight
             pending = []
-            it = iter(batches)
-            for b in it:
-                pending.append(self._pool.map_async(_load_one, list(b)))
+            for b, v in zip(batches, valids):
+                pending.append((self._pool.map_async(_load_one, list(b)), v))
                 if len(pending) >= 3:
-                    yield collate_padded(pending.pop(0).get())
+                    job, pv = pending.pop(0)
+                    yield _finish(collate_padded(job.get()), pv)
             while pending:
-                yield collate_padded(pending.pop(0).get())
+                job, pv = pending.pop(0)
+                yield _finish(collate_padded(job.get()), pv)
 
     def close(self):
         if self._pool is not None:

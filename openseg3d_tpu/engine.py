@@ -130,7 +130,11 @@ def make_eval_step(cfg, spec: ModelSpec, model):
         loss = compute_loss(out, batch, criterion, spec, aux_w)
         preds = jnp.argmax(out['point_out'], axis=-1).reshape(-1)
         labels = batch['point_labels'].reshape(-1)
-        valid = batch['cur_point_mask'].reshape(-1) & batch['point_mask'].reshape(-1)
+        valid = batch['cur_point_mask'] & batch['point_mask']
+        if 'sample_valid' in batch:
+            # exclude epoch-padding duplicate frames from the histogram
+            valid = valid & batch['sample_valid'][:, None]
+        valid = valid.reshape(-1)
         hist = confusion_matrix(preds, labels, nc, valid)
         return {'loss': loss, 'hist': hist, 'point_out': out['point_out']}
 

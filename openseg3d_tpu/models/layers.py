@@ -1,8 +1,10 @@
-"""Shared model layers: MLP stacks, SE/SA attention, DropPath, VFE.
+"""Shared model layers: MLP stacks, SE/SA attention, VFE.
 
 Parity targets: seg3d/models/voxel_encoders/vfe.py, layers/se_layer.py,
-layers/sa_layer.py, layers/drop.py. All operate on batched padded arrays
-[B, N, C] with validity masks instead of ragged concatenated rows.
+layers/sa_layer.py. All operate on batched padded arrays [B, N, C] with
+validity masks instead of ragged concatenated rows. (The reference's
+layers/drop.py DropPath lives in swformer._drop_path — a function, not a
+module, because the per-layer rate arrives as a traced nn.scan input.)
 """
 
 from __future__ import annotations
@@ -97,18 +99,3 @@ class SALayer(nn.Module):
         return features * nn.sigmoid(gate)
 
 
-class DropPath(nn.Module):
-    """Stochastic depth on the row dimension (drop.py:4-34)."""
-    rate: float = 0.0
-    deterministic: bool | None = None
-
-    @nn.compact
-    def __call__(self, x, deterministic: bool | None = None):
-        det = nn.merge_param('deterministic', self.deterministic, deterministic)
-        if det or self.rate == 0.0:
-            return x
-        keep = 1.0 - self.rate
-        rng = self.make_rng('dropout')
-        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-        mask = jax.random.bernoulli(rng, keep, shape)
-        return jnp.where(mask, x / keep, 0)

@@ -21,7 +21,10 @@ def _valid(labels, ignore_index):
 
 
 def cross_entropy(logits, labels, ignore_index: int = 255, class_weight=None):
-    """Per-element CE with ignore mask; returns (losses [N], valid [N])."""
+    """Per-element CE with ignore mask; returns (losses [N], valid [N],
+    norm [N]) where norm is the torch-convention mean denominator terms:
+    per-element class weight when weighted (torch CE reduction='mean'
+    divides by sum of target weights), else 1."""
     valid = _valid(labels, ignore_index)
     safe = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -29,12 +32,15 @@ def cross_entropy(logits, labels, ignore_index: int = 255, class_weight=None):
     if class_weight is not None:
         w = jnp.asarray(class_weight, dtype=nll.dtype)[safe]
         nll = nll * w
-    return jnp.where(valid, nll, 0.0), valid
+        norm = jnp.where(valid, w, 0.0)
+    else:
+        norm = valid.astype(nll.dtype)
+    return jnp.where(valid, nll, 0.0), valid, norm
 
 
 def ce_loss(logits, labels, ignore_index: int = 255, class_weight=None):
-    losses, valid = cross_entropy(logits, labels, ignore_index, class_weight)
-    return jnp.sum(losses) / jnp.maximum(jnp.sum(valid), 1)
+    losses, valid, norm = cross_entropy(logits, labels, ignore_index, class_weight)
+    return jnp.sum(losses) / jnp.maximum(jnp.sum(norm), 1e-12)
 
 
 def ohem_ce_loss(logits, labels, ignore_index: int = 255,
@@ -45,7 +51,7 @@ def ohem_ce_loss(logits, labels, ignore_index: int = 255,
     keep_ratio: keep the top ratio*|valid| largest losses.
     keep_thresh: keep elements whose target-class prob < thresh.
     """
-    losses, valid = cross_entropy(logits, labels, ignore_index, class_weight)
+    losses, valid, norm = cross_entropy(logits, labels, ignore_index, class_weight)
     if keep_ratio is not None:
         n_valid = jnp.sum(valid)
         kept_count = (n_valid.astype(jnp.float32) * keep_ratio).astype(jnp.int32)
@@ -59,7 +65,7 @@ def ohem_ce_loss(logits, labels, ignore_index: int = 255,
         p_t = jnp.take_along_axis(probs, safe[:, None], axis=-1)[:, 0]
         keep = valid & (p_t < keep_thresh)
         return jnp.sum(jnp.where(keep, losses, 0.0)) / jnp.maximum(jnp.sum(keep), 1)
-    return jnp.sum(losses) / jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(losses) / jnp.maximum(jnp.sum(norm), 1e-12)
 
 
 def lovasz_softmax_loss(logits, labels, ignore_index: int = 255, class_weight=None):
@@ -128,15 +134,27 @@ def focal_loss(logits, labels, ignore_index: int = 255, gamma: float = 2.0,
 
 def build_criterion(cfg, class_weight=None):
     """List of (loss_fn, weight) mirroring build_criterion (builder.py:26-40);
-    supports the reference's 'ce'/'ohem_ce'/'lovasz' plus 'dice'/'focal'."""
+    supports the reference's 'ce'/'ohem_ce'/'lovasz' plus 'dice'/'focal'.
+
+    DATASET.CLASS_WEIGHT (per-class weights from the shipped YAMLs) feeds the
+    CE-family losses when set — a documented deviation: the reference parses
+    these weights but its builder never passes them to any loss (builder.py:30,
+    a vestige); here they are honored. OHEM uses MODEL.OHEM_KEEP_THRESH when
+    set (the reference builder's choice, builder.py:32) and falls back to
+    MODEL.OHEM_KEEP_RATIO otherwise, so neither config key is dead."""
     ignore = cfg.DATASET.IGNORE_INDEX
+    if class_weight is None and len(cfg.DATASET.CLASS_WEIGHT):
+        class_weight = tuple(float(w) for w in cfg.DATASET.CLASS_WEIGHT)
+    cw = class_weight
     out = []
     for name, weight in cfg.MODEL.LOSSES.items():
         if name == 'ce':
-            fn = lambda lg, lb: ce_loss(lg, lb, ignore)
+            fn = lambda lg, lb: ce_loss(lg, lb, ignore, class_weight=cw)
         elif name == 'ohem_ce':
             thresh = cfg.MODEL.OHEM_KEEP_THRESH
-            fn = lambda lg, lb, _t=thresh: ohem_ce_loss(lg, lb, ignore, keep_thresh=_t)
+            ratio = None if thresh else cfg.MODEL.OHEM_KEEP_RATIO
+            fn = lambda lg, lb, _t=thresh, _r=ratio: ohem_ce_loss(
+                lg, lb, ignore, keep_ratio=_r, keep_thresh=_t, class_weight=cw)
         elif name == 'lovasz':
             fn = lambda lg, lb: lovasz_softmax_loss(lg, lb, ignore)
         elif name == 'dice':

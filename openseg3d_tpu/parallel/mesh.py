@@ -21,11 +21,33 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def init_distributed() -> tuple[int, int]:
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> tuple[int, int]:
     """jax.distributed bring-up for multi-host (analog of init_dist,
-    seg3d/utils/distributed.py:8-19). No-op for single-process runs."""
-    if int(os.environ.get('JAX_PROCESS_COUNT', '1')) > 1 and jax.process_count() == 1:
-        jax.distributed.initialize()
+    seg3d/utils/distributed.py:8-19). No-op for single-process runs.
+
+    MUST be the first jax call in the process: `jax.distributed.initialize`
+    has to run before any operation that initializes the local backend
+    (including jax.devices()/jax.process_count()), so this function decides
+    whether to initialize purely from its arguments and the env vars JAX
+    itself reads (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID — exported by tools/dist_train.sh), never from backend
+    state."""
+    env_np = os.environ.get('JAX_NUM_PROCESSES')
+    n = num_processes if num_processes is not None else int(env_np or 1)
+    want_dist = (n > 1 or coordinator_address is not None
+                 or bool(os.environ.get('JAX_COORDINATOR_ADDRESS')))
+    if want_dist:
+        try:
+            from jax._src import distributed as _dist
+            already = _dist.global_state.client is not None
+        except Exception:
+            already = False
+        if not already:
+            jax.distributed.initialize(coordinator_address=coordinator_address,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
     return jax.process_index(), jax.process_count()
 
 
@@ -79,11 +101,15 @@ def make_sharded_eval_step(eval_step_fn, mesh: Mesh):
 
 
 def process_shard_indices(n: int, shuffle_seed: int | None, epoch: int,
-                          batch_size_global: int) -> np.ndarray:
+                          batch_size_global: int, return_valid: bool = False):
     """Per-host sample indices: epoch+seed deterministic shuffle, pad to a
-    multiple of the global batch, strided slice by process index — the
-    DistributedSampler analog (datasets/samplers/distributed_sampler.py:35-59)
-    keyed on jax.process_index()."""
+    multiple of the global batch (cycling from the front — tiling handles
+    datasets smaller than one global batch), strided slice by process index —
+    the DistributedSampler analog
+    (datasets/samplers/distributed_sampler.py:35-59) keyed on
+    jax.process_index(). With return_valid, also returns a bool array marking
+    which of this host's slots are real samples (False = pad duplicate), so
+    eval can exclude recycled frames from the IoU histogram."""
     idx = np.arange(n)
     if shuffle_seed is not None:
         rng = np.random.RandomState(shuffle_seed + epoch)
@@ -92,5 +118,9 @@ def process_shard_indices(n: int, shuffle_seed: int | None, epoch: int,
     rank = jax.process_index()
     per_host_batch = batch_size_global // world
     total = int(np.ceil(n / batch_size_global)) * batch_size_global
-    idx = np.concatenate([idx, idx[:total - n]])
-    return idx.reshape(-1, world, per_host_batch)[:, rank, :].reshape(-1)
+    valid = np.concatenate([np.ones(n, bool), np.zeros(total - n, bool)])
+    idx = np.resize(idx, total)
+    sel = np.arange(total).reshape(-1, world, per_host_batch)[:, rank, :].reshape(-1)
+    if return_valid:
+        return idx[sel], valid[sel]
+    return idx[sel]

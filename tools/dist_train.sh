@@ -15,8 +15,9 @@ NODE_RANK=${NODE_RANK:-0}
 MASTER_ADDR=${MASTER_ADDR:-127.0.0.1}
 MASTER_PORT=${MASTER_PORT:-8476}
 
-export JAX_PROCESS_COUNT=$NNODES
+# These are the env names jax.distributed.initialize() actually reads.
+export JAX_NUM_PROCESSES=$NNODES
 export JAX_COORDINATOR_ADDRESS="$MASTER_ADDR:$MASTER_PORT"
-export JAX_PROCESS_INDEX=$NODE_RANK
+export JAX_PROCESS_ID=$NODE_RANK
 
 exec python "$(dirname "$0")/train.py" --launcher jax "$@"

@@ -141,18 +141,32 @@ def main():
     eval_step = make_sharded_eval_step(make_eval_step(cfg, spec, model), mesh)
     rng = jax.random.PRNGKey(seed)
 
+    from openseg3d_tpu.utils.timer import Timer
     for epoch in range(start_epoch, args.epochs):
         cur_epoch = epoch + 1
         train_loader.set_epoch(epoch)
         t_epoch = time.time()
-        for step_i, batch in enumerate(train_loader, 1):
-            b = shard_batch({k: v for k, v in batch.items() if k != 'batch_size'}, mesh)
-            state, metrics = train_step(state, b, rng)
+        data_timer, step_timer = Timer(), Timer()
+        it = iter(train_loader)
+        step_i = 0
+        while True:
+            with data_timer:
+                batch = next(it, None)
+            if batch is None:
+                break
+            step_i += 1
+            with step_timer:
+                b = shard_batch({k: v for k, v in batch.items() if k != 'batch_size'}, mesh)
+                state, metrics = train_step(state, b, rng)
+                if step_i % args.log_iter_interval == 0:
+                    loss = float(metrics['loss'])   # forces device sync
             if step_i % args.log_iter_interval == 0:
-                loss = float(metrics['loss'])
                 lr = float(schedule(int(state.step)))
-                logger.info('Train - Epoch [%d/%d] Iter [%d/%d] lr: %f, loss: %f',
-                            cur_epoch, args.epochs, step_i, iters_per_epoch, lr, loss)
+                logger.info('Train - Epoch [%d/%d] Iter [%d/%d] lr: %f, loss: %f, '
+                            'step: %.0fms, data-wait: %.0fms',
+                            cur_epoch, args.epochs, step_i, iters_per_epoch, lr, loss,
+                            step_timer.mean * 1e3, data_timer.mean * 1e3)
+                data_timer.reset(); step_timer.reset()
         logger.info('epoch %d done in %.1fs', cur_epoch, time.time() - t_epoch)
 
         if rank == 0:

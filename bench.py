@@ -162,11 +162,19 @@ def main():
     print(json.dumps({
         'metric': f'{args.segmentor} end-to-end {args.mode} throughput '
                   f'(single chip, {args.n_points} pts/frame, '
-                  f'voxels={n_voxels}, compile={compile_s:.0f}s, '
-                  f'step={med * 1e3:.1f}ms)',
+                  f'voxels={n_voxels}, step={med * 1e3:.1f}ms)',
         'value': round(pts_per_sec / 1e6, 4),
         'unit': 'Mpoints/sec',
+        # single-chip rate / estimated single-A100 reference rate (BASELINE.md
+        # documents the estimate's derivation). The BASELINE.json target of
+        # ">=2x A100 on a v5e-8" compares 8 chips against one A100; pure DP
+        # with zero forward collectives scales ~linearly, so the v5e-8
+        # projection is 8x this number — reported separately, not folded in.
         'vs_baseline': round(pts_per_sec / A100_BASELINE_POINTS_PER_SEC, 3),
+        'compile_s': round(compile_s, 1),
+        'step_ms': round(med * 1e3, 1),
+        'v5e8_projection_vs_baseline': round(
+            8 * pts_per_sec / A100_BASELINE_POINTS_PER_SEC, 2),
     }))
 
 

@@ -8,6 +8,7 @@ built once per stage in the backbone and reused by every conv at that stage.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -30,7 +31,13 @@ class SparseConv(nn.Module):
         k3 = rulebook.in_idx.shape[1] if isinstance(rulebook, Rulebook) else 27
         w = self.param('kernel', nn.initializers.kaiming_normal(),
                        (k3, x.shape[-1], self.features))
-        y = apply_subm(x, rulebook, w, out_mask, compute_dtype=x.dtype)
+        # checkpoint the gather-GEMM: without it every conv's backward keeps
+        # its [B, K, Vo, Cin] gathered-neighbor tensor alive in HBM (the
+        # round-1 20.3G train OOM at Waymo caps); recomputing the gather in
+        # the backward trades one extra row-gather per conv for ~GBs
+        y = jax.checkpoint(
+            lambda xx, ww: apply_subm(xx, rulebook, ww, out_mask,
+                                      compute_dtype=xx.dtype))(x, w)
         if self.use_bias:
             b = self.param('bias', nn.initializers.zeros, (self.features,))
             y = jnp.where(out_mask[..., None], y + b.astype(y.dtype), 0)

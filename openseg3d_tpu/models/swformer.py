@@ -19,9 +19,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.window import (WindowPartition, flat_to_window, window_to_flat,
-                          window_mask, positional_embedding)
-from ..ops.attention import fused_window_attention_packed
+from ..ops.window import WindowPartition, window_mask, positional_embedding
+from ..ops.attention import (fused_window_attention_packed,
+                             window_attention_packed_train)
 
 
 def level_offsets(levels):
@@ -74,26 +74,42 @@ class WindowAttention(nn.Module):
     attn_drop: float = 0.1
     tau_min: float = 0.01
 
+    def _level_fits(self, spec, itemsize: int, train: bool) -> bool:
+        """Whether a level's whole-window kernel blocks fit scoped VMEM. The
+        backward recomputation holds ~4 extra live f32 [R, RK] temporaries plus
+        the dpacked output block, so training is budgeted tighter (the empty
+        T=800 bucket falls back to the einsum in f32; all real buckets fit)."""
+        t, c = spec.max_tokens, self.d_model
+        if not train:
+            return t * c * itemsize <= 1_100_000
+        from ..ops.attention import _train_group
+        g = _train_group(t, c, itemsize)
+        r = max(g * t, t)
+        blocks = 2 * (7 * g * t * c * itemsize)          # packed+g+dpacked, 2x buffered
+        temps = 4 * (r * r * 4) + 3 * (r * c * 4)        # attn/dmask/dp/ds + dq/dk/dv
+        return blocks + temps <= 12_000_000
+
     @nn.compact
     def __call__(self, feat, windowed, part: WindowPartition, train: bool):
         """feat [B, V, C]; windowed = (pos [B,V,C] flat, per-level biases
         [B,W,T], combined scatter index [B,V]) precomputed once per block
         (layer-invariant)."""
-        sp = part.shifts[self.shift]
         pos, biases = windowed[0], windowed[1]
         c, h = self.d_model, self.nhead
         b, v, _ = feat.shape
 
         # torch MHA packs q,k,v into one in_proj (cosine_msa.py:446-470);
-        # q and k both project feat+pos, v projects feat (:233-258). The
-        # packed output stays FLAT [.., 3C]: a [.., 3, C] output would tile-pad
-        # (3, C) -> (8, 128) on TPU (7x memory inflation); lane slices of the
-        # flat form are contiguous.
-        qkv = nn.Dense(3 * c, name='in_proj', dtype=feat.dtype,
-                       kernel_init=nn.initializers.xavier_uniform())
-        qk_in = qkv(feat + pos)
-        q, k = qk_in[..., :c], qk_in[..., c:2 * c]
-        val = qkv(feat)[..., 2 * c:]
+        # q and k project feat+pos, v projects feat (:233-258). Because the
+        # projection is affine, slicing the packed kernel lets each input be
+        # multiplied exactly once (the round-1 form ran the full 3C Dense on
+        # both inputs and discarded 2/3 of each result).
+        wp = self.param('in_proj_kernel', nn.initializers.xavier_uniform(),
+                        (c, 3 * c))
+        bp = self.param('in_proj_bias', nn.initializers.zeros, (3 * c,))
+        wd, bd = wp.astype(feat.dtype), bp.astype(feat.dtype)
+        qk_in = (feat + pos) @ wd[:, :2 * c] + bd[:2 * c]
+        q, k = qk_in[..., :c], qk_in[..., c:]
+        val = feat @ wd[:, 2 * c:] + bd[2 * c:]
 
         tau = self.param('tau', nn.initializers.constant(0.1), (h,))
         scale = 1.0 / jnp.maximum(tau, self.tau_min)          # [h]
@@ -101,57 +117,53 @@ class WindowAttention(nn.Module):
         q = (_head_l2norm(q, h) * scale_c).astype(feat.dtype)
         k = _head_l2norm(k, h).astype(feat.dtype)
 
-        # all levels fit the kernel in bf16; very large single-window levels
-        # (f32 T=800 x C=384) would overflow the 16M scoped VMEM
-        fits = all(sp_.max_tokens * c * q.dtype.itemsize <= 1_100_000
-                   for sp_ in self.levels)
-        use_kernel = (not train) and jax.default_backend() == 'tpu' and fits
-
-        if use_kernel:
-            # ONE row-scatter of the packed q|k|v into the combined all-levels
-            # buffer, one kernel per level on its static row range, ONE gather
-            # back (scatter/gather cost is per row; the per-(level,tensor)
-            # form was 16 row ops per layer, profiled ~0.8ms each)
-            comb = windowed[2]                                # [B, V]
-            offs = level_offsets(self.levels)
-            pack = jnp.concatenate([q, k, val], axis=-1)      # [B, V, 3C]
-            tgt = jnp.where(comb >= 0, comb, offs[-1])
-            big = jnp.zeros((b, offs[-1], 3 * c), pack.dtype)
-            big = jax.vmap(lambda o, t_, f: o.at[t_].set(f, mode='drop',
-                                                         unique_indices=True))(
-                big, tgt, pack)
-            outs = []
-            for li, spec in enumerate(self.levels):
-                w, t = spec.num_windows, spec.max_tokens
-                seg = big[:, offs[li]:offs[li + 1]].reshape(b * w, t, 3 * c)
-                o3 = fused_window_attention_packed(
-                    seg, biases[li].reshape(b * w, t), nhead=h)
-                outs.append(o3.reshape(b, w * t, c))
-            cat = jnp.concatenate(outs, axis=1)               # [B, total, C]
-            g3 = jnp.take_along_axis(cat, jnp.maximum(comb, 0)[..., None],
-                                     axis=1)
-            out = jnp.where((comb >= 0)[..., None], g3, 0).astype(jnp.float32)
-        else:
-            out = jnp.zeros((b, v, c), jnp.float32)
-            for li, spec in enumerate(self.levels):
-                idx = sp.scatter_idx[li]
-                q3 = flat_to_window(q, idx, spec)
-                k3 = flat_to_window(k, idx, spec)
-                v3 = flat_to_window(val, idx, spec)
-                bias3 = biases[li]                             # [B, W, T]
-                w, t = spec.num_windows, spec.max_tokens
+        on_tpu = jax.default_backend() == 'tpu'
+        # ONE row-scatter of the packed q|k|v into the combined all-levels
+        # buffer, one attention core per level on its static row range, ONE
+        # gather back (scatter/gather cost is per row; the per-(level,tensor)
+        # form was 16 row ops per layer, profiled ~0.8ms each). Used by both
+        # the kernel and the einsum cores, train and eval.
+        comb = windowed[2]                                    # [B, V]
+        offs = level_offsets(self.levels)
+        pack = jnp.concatenate([q, k, val], axis=-1)          # [B, V, 3C]
+        tgt = jnp.where(comb >= 0, comb, offs[-1])
+        big = jnp.zeros((b, offs[-1], 3 * c), pack.dtype)
+        big = jax.vmap(lambda o, t_, f: o.at[t_].set(f, mode='drop',
+                                                     unique_indices=True))(
+            big, tgt, pack)
+        if train:
+            # per-level int32 seeds for the in-kernel attention dropout
+            seeds = jax.random.randint(self.make_rng('dropout'),
+                                       (len(self.levels),), 0, 2 ** 31 - 1)
+        outs = []
+        for li, spec in enumerate(self.levels):
+            w, t = spec.num_windows, spec.max_tokens
+            seg = big[:, offs[li]:offs[li + 1]].reshape(b * w, t, 3 * c)
+            bias2 = biases[li].reshape(b * w, t)
+            if on_tpu and self._level_fits(spec, pack.dtype.itemsize, train):
+                if train:
+                    o3 = window_attention_packed_train(
+                        seg, bias2, seeds[li:li + 1], h, float(self.attn_drop))
+                else:
+                    o3 = fused_window_attention_packed(seg, bias2, nhead=h)
+            else:
+                # einsum core on the same windowed segment (non-TPU backends
+                # and levels whose backward would overflow VMEM)
                 hd = c // h
-                qh = q3.reshape(b, w, t, h, hd).astype(jnp.float32)
-                kh = k3.reshape(b, w, t, h, hd).astype(jnp.float32)
-                vh = v3.reshape(b, w, t, h, hd).astype(jnp.float32)
-                logits = jnp.einsum('bwthd,bwshd->bwhts', qh, kh)
-                logits = logits + bias3[:, :, None, None, :]
+                qh = seg[..., :c].reshape(b * w, t, h, hd).astype(jnp.float32)
+                kh = seg[..., c:2 * c].reshape(b * w, t, h, hd).astype(jnp.float32)
+                vh = seg[..., 2 * c:].reshape(b * w, t, h, hd).astype(jnp.float32)
+                logits = jnp.einsum('nthd,nshd->nhts', qh, kh)
+                logits = logits + bias2.astype(jnp.float32)[:, None, None, :]
                 attn = jax.nn.softmax(logits, axis=-1)
                 attn = nn.Dropout(self.attn_drop,
                                   deterministic=not train)(attn)
-                o3 = jnp.einsum('bwhts,bwshd->bwthd', attn, vh
-                                ).reshape(b, w, t, c)
-                out = out + window_to_flat(o3, idx, spec).astype(jnp.float32)
+                o3 = jnp.einsum('nhts,nshd->nthd', attn, vh
+                                ).reshape(b * w, t, c).astype(pack.dtype)
+            outs.append(o3.reshape(b, w * t, c))
+        cat = jnp.concatenate(outs, axis=1)                   # [B, total, C]
+        g3 = jnp.take_along_axis(cat, jnp.maximum(comb, 0)[..., None], axis=1)
+        out = jnp.where((comb >= 0)[..., None], g3, 0)
         out = nn.Dense(c, name='out_proj', dtype=feat.dtype)(out.astype(feat.dtype))
         return out
 

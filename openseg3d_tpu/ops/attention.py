@@ -240,6 +240,196 @@ def fused_window_attention_packed(packed, bias, nhead: int,
     )(packed, packed, bias_rows)
 
 
+def _train_group(t: int, c: int, itemsize: int) -> int:
+    """Window group for the train fwd/bwd kernels: the bwd grid step holds
+    packed + g + dpacked blocks (7c rows) plus ~6 live f32 [R, RK] logit
+    temporaries, so budget rows more conservatively than the eval kernel."""
+    return attention_group(t, 3 * c, itemsize)
+
+
+def _dropout_mask(shape, drop_rate: float):
+    """0/1 keep mask from the seeded in-kernel PRNG. Caller must have run
+    pltpu.prng_seed; consecutive calls advance the stream, so fwd and bwd
+    regenerate IDENTICAL masks by issuing the same call sequence."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    thr = jnp.uint32(min(int(drop_rate * 2 ** 32), 2 ** 32 - 1))
+    return (bits >= thr).astype(jnp.float32)
+
+
+def _kernel_packed_train(seed_ref, pk_ref, bias_ref, out_ref, *,
+                         nhead: int, drop_rate: float):
+    """Forward train kernel: eval kernel + attention dropout after softmax
+    (cosine_msa.py:174 F.dropout on attn weights). Seeded per grid step.
+    Unlike the eval kernel, q and k/v share ONE packed operand block (train
+    never query-chunks), halving the streamed VMEM blocks."""
+    g, t, c3 = pk_ref.shape
+    c = c3 // 3
+    r = rk = g * t
+    hd = c // nhead
+    if drop_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    inv_keep = 1.0 / max(1.0 - drop_rate, 1e-6)
+    p_all = pk_ref[:].reshape(r, c3)
+    q = p_all[:, :c]
+    k = p_all[:, c:2 * c]
+    v = p_all[:, 2 * c:]
+    i = pl.program_id(0)
+    bias = bias_ref[pl.ds(i, 1), :].astype(jnp.float32)
+    if g > 1:
+        same_win = (jax.lax.broadcasted_iota(jnp.int32, (r, rk), 0) // t ==
+                    jax.lax.broadcasted_iota(jnp.int32, (r, rk), 1) // t)
+        bias = jnp.where(same_win, bias, -1e9)
+
+    dn_qk = (((1,), (1,)), ((), ()))
+    dn_av = (((1,), (0,)), ((), ()))
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) // hd
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    out = jnp.zeros((r, c), jnp.float32)
+    for h in range(nhead):
+        mask = (lane_head == h).astype(q.dtype)
+        logits = jax.lax.dot_general(q * mask, k, dn_qk, precision=prec,
+                                     preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(logits + bias, axis=-1)
+        if drop_rate > 0.0:
+            attn = attn * (_dropout_mask((r, rk), drop_rate) * inv_keep)
+        oh = jax.lax.dot_general(attn.astype(v.dtype), v, dn_av, precision=prec,
+                                 preferred_element_type=jnp.float32)
+        out = out + oh * mask.astype(jnp.float32)
+    out_ref[:] = out.reshape(g, t, c).astype(out_ref.dtype)
+
+
+def _kernel_packed_bwd(seed_ref, pk_ref, bias_ref, g_ref, dout_ref, *,
+                       nhead: int, drop_rate: float):
+    """Backward: recompute attn per head in VMEM (flash-style — nothing but
+    q/k/v/g ever touches HBM), regenerate the dropout mask from the same
+    seed/stream, and emit dq|dk|dv packed on the lane axis."""
+    g, t, c3 = pk_ref.shape
+    c = c3 // 3
+    r = rk = g * t
+    hd = c // nhead
+    if drop_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    inv_keep = 1.0 / max(1.0 - drop_rate, 1e-6)
+    p_all = pk_ref[:].reshape(r, c3)
+    q = p_all[:, :c]
+    k = p_all[:, c:2 * c]
+    v = p_all[:, 2 * c:]
+    gout = g_ref[:].reshape(r, c)
+    i = pl.program_id(0)
+    bias = bias_ref[pl.ds(i, 1), :].astype(jnp.float32)
+    if g > 1:
+        same_win = (jax.lax.broadcasted_iota(jnp.int32, (r, rk), 0) // t ==
+                    jax.lax.broadcasted_iota(jnp.int32, (r, rk), 1) // t)
+        bias = jnp.where(same_win, bias, -1e9)
+
+    dn_qk = (((1,), (1,)), ((), ()))     # a [R,C] @ b[RK,C]^T -> [R,RK]
+    dn_av = (((1,), (0,)), ((), ()))     # a [R,RK] @ b[RK,C]  -> [R,C]
+    dn_t = (((0,), (0,)), ((), ()))      # a [R,RK]^T... via dot(a^T): use dot_general contracting dim0
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) // hd
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    dq = jnp.zeros((r, c), jnp.float32)
+    dk = jnp.zeros((rk, c), jnp.float32)
+    dv = jnp.zeros((rk, c), jnp.float32)
+    for h in range(nhead):
+        mask = (lane_head == h).astype(q.dtype)
+        maskf = mask.astype(jnp.float32)
+        qh = q * mask
+        gh = (gout * mask.astype(gout.dtype)).astype(v.dtype)
+        logits = jax.lax.dot_general(qh, k, dn_qk, precision=prec,
+                                     preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(logits + bias, axis=-1)          # [R, RK] f32
+        if drop_rate > 0.0:
+            dmask = _dropout_mask((r, rk), drop_rate) * inv_keep
+            attn_d = attn * dmask
+        else:
+            attn_d = attn
+        # dv += attn_d^T @ g_h   (contract the R dim of both)
+        dv = dv + jax.lax.dot_general(attn_d.astype(v.dtype), gh, dn_t,
+                                      precision=prec,
+                                      preferred_element_type=jnp.float32)
+        # d(attn_d) = g_h @ v^T ; d(attn) = that * dmask
+        dp = jax.lax.dot_general(gh, v, dn_qk, precision=prec,
+                                 preferred_element_type=jnp.float32)
+        if drop_rate > 0.0:
+            dp = dp * dmask
+        # softmax backward: ds = attn * (dp - rowsum(attn * dp))
+        ds = attn * (dp - jnp.sum(attn * dp, axis=-1, keepdims=True))
+        ds = ds.astype(k.dtype)
+        dq = dq + jax.lax.dot_general(ds, k, dn_av, precision=prec,
+                                      preferred_element_type=jnp.float32) * maskf
+        dk = dk + jax.lax.dot_general(ds, qh, dn_t, precision=prec,
+                                      preferred_element_type=jnp.float32) * maskf
+    dpk = jnp.concatenate([dq, dk, dv], axis=-1)
+    dout_ref[:] = dpk.reshape(g, t, c3).astype(dout_ref.dtype)
+
+
+def _train_call(kernel_body, packed, bias, seed, nhead, drop_rate, extra=None,
+                interpret=False):
+    n, t, c3 = packed.shape
+    c = c3 // 3
+    g = _train_group(t, c, packed.dtype.itemsize)
+    assert n % g == 0, (n, g)
+    bias_rows = bias.reshape(n // g, g * t)
+    grid = (n // g,)
+    pk_spec = pl.BlockSpec((g, t, c3), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((g, t, c), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    if extra is None:    # forward
+        return pl.pallas_call(
+            functools.partial(kernel_body, nhead=nhead, drop_rate=drop_rate),
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), pk_spec,
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=g_spec,
+            out_shape=jax.ShapeDtypeStruct((n, t, c), packed.dtype),
+            interpret=interpret,
+        )(seed_arr, packed, bias_rows)
+    return pl.pallas_call(                                     # backward
+        functools.partial(kernel_body, nhead=nhead, drop_rate=drop_rate),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), pk_spec,
+                  pl.BlockSpec(memory_space=pltpu.VMEM), g_spec],
+        out_specs=pk_spec,
+        out_shape=jax.ShapeDtypeStruct((n, t, c3), packed.dtype),
+        interpret=interpret,
+    )(seed_arr, packed, bias_rows, extra)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def window_attention_packed_train(packed, bias, seed, nhead: int,
+                                  drop_rate: float, interpret: bool = False):
+    """Differentiable fused window attention for TRAINING (verdict item 4:
+    training previously fell back to the HBM-materialized einsum,
+    swformer.py:108). packed [N,T,3C] = q|k|v on lanes; bias [N,T]; seed int32
+    scalar array driving in-kernel attention dropout (cosine_msa.py:174).
+    Flash-style: neither forward nor backward ever materializes [N,H,T,T]
+    logits in HBM; backward recomputes attn per head inside VMEM."""
+    return _train_call(_kernel_packed_train, packed, bias, seed, nhead,
+                       drop_rate, interpret=interpret)
+
+
+def _wapt_fwd(packed, bias, seed, nhead, drop_rate, interpret=False):
+    out = _train_call(_kernel_packed_train, packed, bias, seed, nhead,
+                      drop_rate, interpret=interpret)
+    return out, (packed, bias, seed)
+
+
+def _wapt_bwd(nhead, drop_rate, interpret, res, gout):
+    packed, bias, seed = res
+    dpacked = _train_call(_kernel_packed_bwd, packed, bias, seed, nhead,
+                          drop_rate, extra=gout, interpret=interpret)
+    zb = jnp.zeros_like(bias)
+    zs = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
+    return dpacked, zb, zs
+
+
+window_attention_packed_train.defvjp(_wapt_fwd, _wapt_bwd)
+
+
 def reference_window_attention(q, k, v, bias, nhead: int):
     """Pure-XLA oracle with identical semantics (used by tests and as the
     non-TPU fallback)."""

@@ -17,6 +17,13 @@ MXU work.
 Block-id lookups use a DENSE canvas over the (coarse) block grid — at block
 granularity the canvas is small (e.g. 180*180*8 = 260k cells for the Waymo
 grid), which removes every sort from the conv path.
+
+STATUS: retained experiment, not wired into any model. Correct and tested
+(tests/test_block_dense.py) but on measurement the halo refresh + block
+scatter overhead did not beat the planar sorted-x path at Waymo occupancy
+(~84k voxels / 1440^2x64 grid -> ~30% block fill); kept because it wins if
+occupancy densifies (multi-sweep configs) — decide per profile, see
+NOTES_NEXT.md.
 """
 
 from __future__ import annotations

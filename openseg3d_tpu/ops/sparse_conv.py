@@ -34,6 +34,7 @@ from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 INT32_SENTINEL = jnp.iinfo(jnp.int32).max
@@ -598,42 +599,111 @@ def planar_from_k3(rulebook: Rulebook) -> PlanarRulebook:
     return PlanarRulebook(base=base, wsel=jnp.stack(sels, axis=-1))
 
 
+def _planar_neighbors(x, base_p, sel_p):
+    """One plane's [B, V, 3dx, Cin] neighbor tensor: window gather + masked
+    distribution of window rows onto their dx slots."""
+    b, v, cin = x.shape
+
+    def slice_windows(xs, starts):                           # [V,C], [V]
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(xs, (s, 0), (3, cin)))(starts)
+
+    g = jax.vmap(slice_windows)(x, base_p)                   # [B, V, 3, Cin]
+    # each window row contributes to at most one dx slot; explicit masked adds
+    # (9 VPU multiply-adds on [B,V,Cin]) rather than a per-voxel 3x3 einsum,
+    # which XLA lowers badly
+    nb = [jnp.zeros((b, v, cin), x.dtype)] * 3
+    for wi in range(3):
+        gw = g[:, :, wi]
+        for dxi in range(3):
+            m = (sel_p[:, :, wi] == dxi - 1)[..., None]
+            nb[dxi] = nb[dxi] + jnp.where(m, gw, 0)
+    return jnp.stack(nb, axis=2)                             # [B, V, 3dx, Cin]
+
+
+def _planar_apply(x, w9, base, wsel, out_mask, out_dtype):
+    """Forward body: x [B,V,Cin] (compute dtype), w9 [9,3,Cin,Cout]."""
+    b, v, cin = x.shape
+    cout = w9.shape[-1]
+    acc = jnp.zeros((b, v, cout), dtype=jnp.float32)
+    for p in range(9):
+        nb = _planar_neighbors(x, base[:, p], wsel[:, p])
+        acc = acc + jax.lax.dot_general(
+            nb.reshape(b, v, 3 * cin), w9[p].reshape(3 * cin, cout),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out = acc.astype(out_dtype)
+    return jnp.where(out_mask[..., None], out, 0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _planar_conv_vjp(compute_dtype, features, weights, base, wsel, out_mask):
+    x = features if compute_dtype is None else features.astype(compute_dtype)
+    w = weights if compute_dtype is None else weights.astype(compute_dtype)
+    cin, cout = weights.shape[1], weights.shape[2]
+    return _planar_apply(x, w.reshape(9, 3, cin, cout), base, wsel, out_mask,
+                         features.dtype)
+
+
+def _planar_conv_fwd(compute_dtype, features, weights, base, wsel, out_mask):
+    y = _planar_conv_vjp(compute_dtype, features, weights, base, wsel, out_mask)
+    return y, (features, weights, base, wsel, out_mask)
+
+
+def _planar_conv_bwd(compute_dtype, res, dout):
+    """Hand-written backward. XLA's transpose of the vmapped window
+    dynamic-slice is a SERIAL dynamic-update-slice while-loop (~300ms per conv
+    on the Waymo-scale train step); instead:
+
+      dx = planar conv of dout with mirrored+transposed weights — the subm
+           neighbor relation is symmetric (o reads u at offset k <=> u reads o
+           at offset -k), so the SAME planar rulebook serves the transpose
+           with W'[k] = W[26-k]^T;
+      dw[p, dx] = nb_p(x)^T @ dout contracted over (batch, voxel) — one MXU
+           dot per plane over the recomputed neighbor tensor.
+    """
+    features, weights, base, wsel, out_mask = res
+    b, v, cin = features.shape
+    cout = weights.shape[-1]
+    cd = compute_dtype
+    x = features if cd is None else features.astype(cd)
+    g0 = jnp.where(out_mask[..., None], dout, 0)
+    g = g0 if cd is None else g0.astype(cd)
+
+    # dx: mirrored conv. weights raster k = (dz+1)*9+(dy+1)*3+(dx+1); mirror
+    # is 26-k = full reversal; channel axes swap for the transpose.
+    w_mirror = weights[::-1].swapaxes(1, 2)                  # [27, Cout, Cin]
+    wm = w_mirror if cd is None else w_mirror.astype(cd)
+    dx = _planar_apply(g, wm.reshape(9, 3, cout, cin), base, wsel,
+                       out_mask, features.dtype)
+
+    # dw: per plane, contract the recomputed neighbor tensor with dout
+    dws = []
+    for p in range(9):
+        nb = _planar_neighbors(x, base[:, p], wsel[:, p])    # [B,V,3,Cin]
+        dw_p = jax.lax.dot_general(
+            nb.reshape(b, v, 3 * cin), g.reshape(b, v, cout),
+            dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32)              # [3Cin, Cout]
+        dws.append(dw_p.reshape(3, cin, cout))
+    dw = jnp.concatenate(dws, axis=0).astype(weights.dtype)  # [27, Cin, Cout]
+
+    zb = np.zeros(base.shape, dtype=jax.dtypes.float0)
+    zs = np.zeros(wsel.shape, dtype=jax.dtypes.float0)
+    zm = np.zeros(out_mask.shape, dtype=jax.dtypes.float0)
+    return dx, dw, zb, zs, zm
+
+
+_planar_conv_vjp.defvjp(_planar_conv_fwd, _planar_conv_bwd)
+
+
 def apply_planar_subm_conv(features: jax.Array, rulebook: PlanarRulebook,
                            weights: jax.Array, out_mask: jax.Array,
                            compute_dtype=None) -> jax.Array:
     """features [B, V, Cin] in sorted-key order, weights [27, Cin, Cout] in
     raster (dz, dy, dx) order -> [B, V, Cout] in the same sorted order.
-    Exactly equivalent to apply_sparse_conv with the k=3 subm rulebook."""
-    b, v, cin = features.shape
-    cout = weights.shape[-1]
-    x = features
-    w = weights
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        w = w.astype(compute_dtype)
-    w = w.reshape(9, 3, cin, cout)
-
-    def slice_windows(xs, starts):                           # [V,C], [9V]
-        return jax.vmap(
-            lambda s: jax.lax.dynamic_slice(xs, (s, 0), (3, cin)))(starts)
-
-    acc = jnp.zeros((b, v, cout), dtype=jnp.float32)
-    for p in range(9):
-        g = jax.vmap(slice_windows)(x, rulebook.base[:, p])  # [B, V, 3, Cin]
-        # neighbor features per dx: each window row contributes to at most one
-        # dx slot; explicit masked adds (9 VPU multiply-adds on [B,V,Cin])
-        # rather than a per-voxel 3x3 einsum, which XLA lowers badly
-        sel = rulebook.wsel[:, p]                            # [B, V, 3] int8
-        nb = [jnp.zeros((b, v, cin), x.dtype)] * 3
-        for wi in range(3):
-            gw = g[:, :, wi]
-            for dxi in range(3):
-                m = (sel[:, :, wi] == dxi - 1)[..., None]
-                nb[dxi] = nb[dxi] + jnp.where(m, gw, 0)
-        nb = jnp.stack(nb, axis=2)                           # [B, V, 3dx, Cin]
-        acc = acc + jax.lax.dot_general(
-            nb.reshape(b, v, 3 * cin), w[p].reshape(3 * cin, cout),
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    out = acc.astype(features.dtype)
-    return jnp.where(out_mask[..., None], out, 0)
+    Exactly equivalent to apply_sparse_conv with the k=3 subm rulebook.
+    Carries a custom VJP (see _planar_conv_bwd)."""
+    cd = None if compute_dtype is None else jnp.dtype(compute_dtype)
+    return _planar_conv_vjp(cd, features, weights, rulebook.base,
+                            rulebook.wsel, out_mask)

@@ -272,3 +272,53 @@ def test_voxelizer_emits_sorted_slots():
     c = np.floor((pts[ok, :3] + 5) / 0.5).astype(np.int64)
     np.testing.assert_array_equal(coords[ids[ok]],
                                   np.stack([c[:, 2], c[:, 1], c[:, 0]], 1))
+
+
+def test_planar_conv_custom_vjp_matches_gather_gemm_grads():
+    """The planar conv's hand-written backward (mirrored conv for dx, per-plane
+    dots for dw) must match autodiff through the gather-GEMM path — XLA's own
+    transpose of the window dynamic-slice is a serial DUS loop, hence the
+    custom VJP."""
+    from openseg3d_tpu.ops.sparse_conv import (
+        sort_by_key, planar_from_k3, apply_planar_subm_conv,
+        build_subm_rulebook as raw_subm_rulebook)
+    rng = np.random.RandomState(17)
+    st = make_sparse(rng, b=2, v_cap=128, n_active=100, shape=(9, 7, 5), c=8)
+    sst, _ = sort_by_key(st)
+    w = jnp.asarray(rng.randn(27, 8, 6).astype(np.float32) * 0.1)
+    tgt = jnp.asarray(rng.randn(2, 128, 6).astype(np.float32))
+
+    rb = raw_subm_rulebook(sst, 3, assume_sorted=True)
+    prb = planar_from_k3(rb)
+
+    def loss_ref(x, ww):
+        y = apply_sparse_conv(x, rb, ww, sst.mask)
+        return jnp.sum(y * tgt)
+
+    def loss_planar(x, ww):
+        y = apply_planar_subm_conv(x, prb, ww, sst.mask)
+        return jnp.sum(y * tgt)
+
+    (lr, (gxr, gwr)) = jax.jit(jax.value_and_grad(loss_ref, argnums=(0, 1)))(
+        sst.features, w)
+    (lp, (gxp, gwp)) = jax.jit(jax.value_and_grad(loss_planar, argnums=(0, 1)))(
+        sst.features, w)
+    np.testing.assert_allclose(float(lp), float(lr), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gxp), np.asarray(gxr),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gwp), np.asarray(gwr),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_knn_k1_matches_topk():
+    from openseg3d_tpu.ops.knn import knn_query
+    rng = np.random.RandomState(3)
+    pts = jnp.asarray(rng.randn(1, 300, 3).astype(np.float32))
+    qs = jnp.asarray(rng.randn(1, 70, 3).astype(np.float32))
+    pv = jnp.ones((1, 300), bool).at[0, 250:].set(False)
+    qv = jnp.ones((1, 70), bool)
+    idx1, d1 = knn_query(1, pts, qs, pv, qv)           # argmin fast path
+    idx2, d2 = knn_query(2, pts, qs, pv, qv)           # top_k path
+    assert np.array_equal(np.asarray(idx1[..., 0]), np.asarray(idx2[..., 0]))
+    np.testing.assert_allclose(np.asarray(d1[..., 0]), np.asarray(d2[..., 0]),
+                               rtol=1e-5, atol=1e-5)

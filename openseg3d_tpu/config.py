@@ -22,8 +22,22 @@ import numpy as np
 import yaml
 
 
+def _rebuild_config(items: dict, frozen: bool) -> "ConfigDict":
+    c = ConfigDict(items)
+    return c.freeze() if frozen else c
+
+
 class ConfigDict(dict):
-    """A dict with attribute access. Immutable once ``freeze()`` is called."""
+    """A dict with attribute access. Immutable once ``freeze()`` is called.
+
+    Picklable (``__reduce__``): default dict-subclass pickling restores items
+    via __setitem__ on an object whose ``_frozen`` slot was never initialized,
+    which raises — and configs must cross process boundaries for the spawned
+    dataloader workers."""
+
+    def __reduce__(self):
+        return (_rebuild_config, (dict(self),
+                                  object.__getattribute__(self, "_frozen")))
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)

@@ -54,7 +54,13 @@ class DataLoader:
         self.epoch = 0
         self._pool = None
         if num_workers > 0:
-            ctx = mp.get_context('fork')
+            # SPAWN, not fork: the parent holds a live jax runtime (TPU client
+            # threads + locks) by the time loaders are built, and forked
+            # children inherit those locks mid-flight — observed as workers
+            # deadlocking with 0 CPU. Spawned workers boot fresh interpreters
+            # and only ever run numpy code; dataset_factory must be picklable
+            # (functools.partial, not a lambda).
+            ctx = mp.get_context('spawn')
             self._pool = ctx.Pool(num_workers, initializer=_init_worker,
                                   initargs=(dataset_factory, seed, 1000))
 

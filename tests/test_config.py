@@ -43,3 +43,21 @@ def test_grid_size_cartesian_and_cylinder():
 def test_multi_sweep_config():
     c = cfg_from_file('configs/waymo_multi_sweeps.yaml')
     assert c.DATASET.USE_MULTI_SWEEPS and c.DATASET.NUM_SWEEPS == 3
+
+
+def test_config_pickles_across_processes():
+    """Spawned dataloader workers receive the config by pickle; the frozen
+    flag must survive (round-2 regression: dict-subclass default pickling
+    crashed on the uninitialized _frozen slot)."""
+    import pickle
+    from openseg3d_tpu.config import cfg_from_file
+    cfg = cfg_from_file(None)
+    c2 = pickle.loads(pickle.dumps(cfg))
+    assert c2.DATASET.NUM_CLASSES == cfg.DATASET.NUM_CLASSES
+    assert c2.RUNTIME.MAX_POINTS_PER_SAMPLE == cfg.RUNTIME.MAX_POINTS_PER_SAMPLE
+    try:
+        c2.DATASET.NUM_CLASSES = 5
+        frozen = False
+    except AttributeError:
+        frozen = True
+    assert frozen, 'frozenness must survive pickling'

@@ -1,0 +1,156 @@
+"""Profile train/eval steps on device and attribute time to XLA ops.
+
+Fills the reference's tracing gap (SURVEY.md §5: only a dead Timer class,
+seg3d/utils/timer.py): traces N jitted steps with jax.profiler (which works
+through the axon TPU tunnel) and aggregates device op durations from the
+xplane protobuf via tensorflow's tsl parser.
+
+  python tools/profile.py --mode train --n_points 163840 --steps 2
+  python tools/profile.py --mode infer --trace_dir /tmp/xplane_out
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import time
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def analyze(trace_dir: str, top: int = 30) -> None:
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    files = glob.glob(trace_dir + '/**/*.xplane.pb', recursive=True)
+    agg, cnt = defaultdict(float), defaultdict(int)
+    total = 0.0
+    for f in files:
+        xs = xplane_pb2.XSpace()
+        with open(f, 'rb') as fh:
+            xs.ParseFromString(fh.read())
+        for plane in xs.planes:
+            if 'TPU' not in plane.name or 'host' in plane.name.lower():
+                continue
+            ev_names = {i: m.name for i, m in plane.event_metadata.items()}
+            for line in plane.lines:
+                if 'xla' not in line.name.lower():
+                    continue
+                for ev in line.events:
+                    name = ev_names.get(ev.metadata_id, '?')
+                    # container/bookkeeping events, not ops
+                    if name.startswith('jit_') or 'Trace Buffers' in name:
+                        continue
+                    dur = ev.duration_ps / 1e9          # ms
+                    agg[name] += dur
+                    cnt[name] += 1
+                    total += dur
+
+    def bucket(name):
+        n = name.lower()
+        for key in ('fusion', 'dynamic-slice', 'dynamic-update', 'gather',
+                    'scatter', 'sort', 'convolution', 'dot', 'custom-call',
+                    'copy', 'reduce', 'while', 'all-'):
+            if key in n:
+                return key
+        return 'other'
+
+    bagg = defaultdict(float)
+    for k, v in agg.items():
+        bagg[bucket(k)] += v
+    print(f'total attributed device ms: {total:.1f}')
+    print('== by bucket ==')
+    for k, v in sorted(bagg.items(), key=lambda x: -x[1]):
+        print(f'  {k:22s} {v:10.1f} ms')
+    print(f'== top {top} ops ==')
+    for k, v in sorted(agg.items(), key=lambda x: -x[1])[:top]:
+        print(f'  {v:9.1f} ms x{cnt[k]:4d}  {k[:110]}')
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--mode', choices=['infer', 'train'], default='train')
+    ap.add_argument('--n_points', type=int, default=163840)
+    ap.add_argument('--max_voxels', type=int, default=98304)
+    ap.add_argument('--steps', type=int, default=2)
+    ap.add_argument('--segmentor', default='segformer')
+    ap.add_argument('--trace_dir', default='/tmp/openseg3d_xplane')
+    ap.add_argument('--analyze_only', action='store_true',
+                    help='just re-parse an existing trace directory')
+    args = ap.parse_args()
+
+    if args.analyze_only:
+        analyze(args.trace_dir)
+        return
+
+    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_bench_cache')
+    import jax
+    import jax.numpy as jnp
+    jax.config.update('jax_compilation_cache_dir',
+                      os.environ['JAX_COMPILATION_CACHE_DIR'])
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 2)
+
+    from openseg3d_tpu.config import cfg_from_file
+    from openseg3d_tpu.core.voxelizer import VoxelGenerator, majority_voxel_labels
+    from openseg3d_tpu.data.batch import pad_sample, collate_padded
+    from openseg3d_tpu.engine import (build_segmentor, create_train_state,
+                                      make_train_step)
+    from openseg3d_tpu.models.optim import build_optimizer, build_schedule
+    from bench import make_waymo_like_cloud
+
+    cfg = cfg_from_file('configs/waymo_one_sweep.yaml', overrides={
+        'MODEL': {'SEGMENTOR': args.segmentor},
+        'RUNTIME': {'MAX_POINTS_PER_SAMPLE': args.n_points,
+                    'MAX_VOXELS_PER_SAMPLE': args.max_voxels},
+    })
+    rng = np.random.RandomState(0)
+    vg = VoxelGenerator(cfg.DATASET.VOXEL_SIZE, cfg.DATASET.POINT_CLOUD_RANGE)
+    pts = make_waymo_like_cloud(rng, args.n_points)
+    coords, ids = vg.generate(pts)
+    labels = rng.randint(0, 22, args.n_points)
+    s = dict(points=pts, voxel_coords=coords, point_voxel_ids=ids,
+             point_labels=labels,
+             voxel_labels=majority_voxel_labels(ids, labels, coords.shape[0]))
+    batch = collate_padded([pad_sample(s, args.n_points, args.max_voxels)])
+    batch = {k: jnp.asarray(v) for k, v in batch.items() if k != 'batch_size'}
+
+    model, spec = build_segmentor(cfg)
+    tx = build_optimizer(cfg, build_schedule(cfg, 30, 1000))
+    state = create_train_state(cfg, model, tx, batch, seed=0)
+    key = jax.random.PRNGKey(0)
+
+    if args.mode == 'train':
+        step = make_train_step(cfg, spec, model, donate=False)
+        run = lambda st: step(st, batch, key)
+        sync = lambda out: float(out[1]['loss'])
+    else:
+        variables = {'params': state.params, 'batch_stats': state.batch_stats}
+        fwd = jax.jit(lambda b: model.apply(variables, b, train=False)['point_out'])
+        run = lambda st: (st, fwd(batch))
+        sync = lambda out: float(out[1][0, 0, 0])
+
+    t0 = time.time()
+    out = run(state)
+    _ = sync(out)
+    print(f'compile+1st: {time.time() - t0:.1f}s', flush=True)
+
+    t0 = time.time()
+    with jax.profiler.trace(args.trace_dir):
+        st = state
+        for _ in range(args.steps):
+            out = run(st)
+            st = out[0]
+        _ = sync(out)
+    wall = time.time() - t0
+    print(f'{args.steps} traced steps: {wall:.1f}s '
+          f'(tracing inflates wall time; use op attribution below)', flush=True)
+    analyze(args.trace_dir)
+
+
+if __name__ == '__main__':
+    main()

@@ -95,16 +95,19 @@ def main():
     mesh = make_mesh(args.num_devices or cfg.RUNTIME.NUM_DEVICES)
     logger.info('mesh: %s', mesh)
 
-    # data
+    # data (factories must pickle — loader workers are spawned, not forked)
+    from functools import partial
     if args.synthetic:
         from openseg3d_tpu.data.synthetic import SyntheticDataset
-        mk_train = lambda: SyntheticDataset(cfg, args.synthetic_frames, mode='training', seed=seed)
-        mk_val = lambda: SyntheticDataset(cfg, max(args.synthetic_frames // 4, 2),
-                                          mode='validation', seed=seed + 777)
+        mk_train = partial(SyntheticDataset, cfg, args.synthetic_frames,
+                           mode='training', seed=seed)
+        mk_val = partial(SyntheticDataset, cfg,
+                         max(args.synthetic_frames // 4, 2),
+                         mode='validation', seed=seed + 777)
     else:
         from openseg3d_tpu.data.waymo_dataset import WaymoDataset
-        mk_train = lambda: WaymoDataset(cfg, args.data_dir, 'training')
-        mk_val = lambda: WaymoDataset(cfg, args.data_dir, 'validation')
+        mk_train = partial(WaymoDataset, cfg, args.data_dir, 'training')
+        mk_val = partial(WaymoDataset, cfg, args.data_dir, 'validation')
 
     train_loader = DataLoader(mk_train, args.batch_size, shuffle=True,
                               num_workers=args.num_workers, seed=seed)

@@ -256,12 +256,37 @@ def _dropout_mask(shape, drop_rate: float):
     return (bits >= thr).astype(jnp.float32)
 
 
+def _row_chunk(r: int, rk: int, c3: int, itemsize: int) -> int:
+    """Query rows processed per inner step of the train kernels. The backward
+    body keeps ~6 [QC, RK] f32 temporaries live (logits/attn/dropout mask/
+    attn_d/dp/ds); at T=800 whole-window chunks that is 6 x 2.56MB and the
+    grid step overflows the 16M scoped-VMEM limit (observed 16.58M). Chunks
+    are static (unrolled) divisors of r sized so 6 temporaries fit what the
+    16M budget leaves after the double-buffered pk/g/out blocks (the bwd
+    footprint — fwd uses the same formula so the dropout PRNG streams of the
+    two kernels stay aligned)."""
+    c = c3 // 3
+    block_bytes = 2 * r * (c3 + c + c3) * itemsize   # 2x(pk + g + out) blocks
+    budget = 13_500_000 - block_bytes                # ~2.5M headroom of 16M
+    limit = max(budget // (6 * 4), 8 * rk)           # >=8 rows always
+    if r * rk <= limit:
+        return r
+    best = 8
+    for qc in range(8, r + 1, 8):
+        if r % qc == 0 and qc * rk <= limit:
+            best = qc
+    return best
+
+
 def _kernel_packed_train(seed_ref, pk_ref, bias_ref, out_ref, *,
                          nhead: int, drop_rate: float):
     """Forward train kernel: eval kernel + attention dropout after softmax
     (cosine_msa.py:174 F.dropout on attn weights). Seeded per grid step.
-    Unlike the eval kernel, q and k/v share ONE packed operand block (train
-    never query-chunks), halving the streamed VMEM blocks."""
+    Unlike the eval kernel, q and k/v share ONE packed operand block, halving
+    the streamed VMEM blocks. Query rows are processed in static chunks
+    (chunk-outer, head-inner) — required for VMEM at T=800, and the SAME
+    chunk/head loop order as the backward so both consume the dropout PRNG
+    stream identically."""
     g, t, c3 = pk_ref.shape
     c = c3 // 3
     r = rk = g * t
@@ -285,17 +310,25 @@ def _kernel_packed_train(seed_ref, pk_ref, bias_ref, out_ref, *,
     lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) // hd
     prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    out = jnp.zeros((r, c), jnp.float32)
-    for h in range(nhead):
-        mask = (lane_head == h).astype(q.dtype)
-        logits = jax.lax.dot_general(q * mask, k, dn_qk, precision=prec,
+    qc = _row_chunk(r, rk, c3, jnp.dtype(pk_ref.dtype).itemsize)
+    out_rows = []
+    for s in range(0, r, qc):
+        qs = q[s:s + qc]
+        bias_s = bias if bias.shape[0] == 1 else bias[s:s + qc]
+        out_s = jnp.zeros((qc, c), jnp.float32)
+        for h in range(nhead):
+            mask = (lane_head == h).astype(q.dtype)
+            logits = jax.lax.dot_general(qs * mask, k, dn_qk, precision=prec,
+                                         preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(logits + bias_s, axis=-1)
+            if drop_rate > 0.0:
+                attn = attn * (_dropout_mask((qc, rk), drop_rate) * inv_keep)
+            oh = jax.lax.dot_general(attn.astype(v.dtype), v, dn_av,
+                                     precision=prec,
                                      preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(logits + bias, axis=-1)
-        if drop_rate > 0.0:
-            attn = attn * (_dropout_mask((r, rk), drop_rate) * inv_keep)
-        oh = jax.lax.dot_general(attn.astype(v.dtype), v, dn_av, precision=prec,
-                                 preferred_element_type=jnp.float32)
-        out = out + oh * mask.astype(jnp.float32)
+            out_s = out_s + oh * mask.astype(jnp.float32)
+        out_rows.append(out_s)
+    out = out_rows[0] if len(out_rows) == 1 else jnp.concatenate(out_rows, 0)
     out_ref[:] = out.reshape(g, t, c).astype(out_ref.dtype)
 
 
@@ -323,44 +356,57 @@ def _kernel_packed_bwd(seed_ref, pk_ref, bias_ref, g_ref, dout_ref, *,
                     jax.lax.broadcasted_iota(jnp.int32, (r, rk), 1) // t)
         bias = jnp.where(same_win, bias, -1e9)
 
-    dn_qk = (((1,), (1,)), ((), ()))     # a [R,C] @ b[RK,C]^T -> [R,RK]
-    dn_av = (((1,), (0,)), ((), ()))     # a [R,RK] @ b[RK,C]  -> [R,C]
-    dn_t = (((0,), (0,)), ((), ()))      # a [R,RK]^T... via dot(a^T): use dot_general contracting dim0
+    dn_qk = (((1,), (1,)), ((), ()))     # a [QC,C] @ b[RK,C]^T -> [QC,RK]
+    dn_av = (((1,), (0,)), ((), ()))     # a [QC,RK] @ b[RK,C]  -> [QC,C]
+    dn_t = (((0,), (0,)), ((), ()))      # contract dim0 of both: a^T @ b
     lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) // hd
     prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    dq = jnp.zeros((r, c), jnp.float32)
+    # Chunk-outer/head-inner, mirroring the forward exactly so the per-(chunk,
+    # head) _dropout_mask calls land at the same stream positions. The ~6 live
+    # f32 logit-shaped temporaries are [QC, RK] instead of [R, RK].
+    qc = _row_chunk(r, rk, c3, jnp.dtype(pk_ref.dtype).itemsize)
     dk = jnp.zeros((rk, c), jnp.float32)
     dv = jnp.zeros((rk, c), jnp.float32)
-    for h in range(nhead):
-        mask = (lane_head == h).astype(q.dtype)
-        maskf = mask.astype(jnp.float32)
-        qh = q * mask
-        gh = (gout * mask.astype(gout.dtype)).astype(v.dtype)
-        logits = jax.lax.dot_general(qh, k, dn_qk, precision=prec,
+    dq_rows = []
+    for s in range(0, r, qc):
+        qs = q[s:s + qc]
+        gs = gout[s:s + qc]
+        bias_s = bias if bias.shape[0] == 1 else bias[s:s + qc]
+        dq_s = jnp.zeros((qc, c), jnp.float32)
+        for h in range(nhead):
+            mask = (lane_head == h).astype(q.dtype)
+            maskf = mask.astype(jnp.float32)
+            qh = qs * mask
+            gh = (gs * mask.astype(gs.dtype)).astype(v.dtype)
+            logits = jax.lax.dot_general(qh, k, dn_qk, precision=prec,
+                                         preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(logits + bias_s, axis=-1)    # [QC, RK] f32
+            if drop_rate > 0.0:
+                dmask = _dropout_mask((qc, rk), drop_rate) * inv_keep
+                attn_d = attn * dmask
+            else:
+                attn_d = attn
+            # dv += attn_d^T @ g_h   (contract the QC dim of both)
+            dv = dv + jax.lax.dot_general(attn_d.astype(v.dtype), gh, dn_t,
+                                          precision=prec,
+                                          preferred_element_type=jnp.float32)
+            # d(attn_d) = g_h @ v^T ; d(attn) = that * dmask
+            dp = jax.lax.dot_general(gh, v, dn_qk, precision=prec,
                                      preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(logits + bias, axis=-1)          # [R, RK] f32
-        if drop_rate > 0.0:
-            dmask = _dropout_mask((r, rk), drop_rate) * inv_keep
-            attn_d = attn * dmask
-        else:
-            attn_d = attn
-        # dv += attn_d^T @ g_h   (contract the R dim of both)
-        dv = dv + jax.lax.dot_general(attn_d.astype(v.dtype), gh, dn_t,
-                                      precision=prec,
-                                      preferred_element_type=jnp.float32)
-        # d(attn_d) = g_h @ v^T ; d(attn) = that * dmask
-        dp = jax.lax.dot_general(gh, v, dn_qk, precision=prec,
-                                 preferred_element_type=jnp.float32)
-        if drop_rate > 0.0:
-            dp = dp * dmask
-        # softmax backward: ds = attn * (dp - rowsum(attn * dp))
-        ds = attn * (dp - jnp.sum(attn * dp, axis=-1, keepdims=True))
-        ds = ds.astype(k.dtype)
-        dq = dq + jax.lax.dot_general(ds, k, dn_av, precision=prec,
-                                      preferred_element_type=jnp.float32) * maskf
-        dk = dk + jax.lax.dot_general(ds, qh, dn_t, precision=prec,
-                                      preferred_element_type=jnp.float32) * maskf
+            if drop_rate > 0.0:
+                dp = dp * dmask
+            # softmax backward: ds = attn * (dp - rowsum(attn * dp))
+            ds = attn * (dp - jnp.sum(attn * dp, axis=-1, keepdims=True))
+            ds = ds.astype(k.dtype)
+            dq_s = dq_s + jax.lax.dot_general(
+                ds, k, dn_av, precision=prec,
+                preferred_element_type=jnp.float32) * maskf
+            dk = dk + jax.lax.dot_general(
+                ds, qh, dn_t, precision=prec,
+                preferred_element_type=jnp.float32) * maskf
+        dq_rows.append(dq_s)
+    dq = dq_rows[0] if len(dq_rows) == 1 else jnp.concatenate(dq_rows, 0)
     dpk = jnp.concatenate([dq, dk, dv], axis=-1)
     dout_ref[:] = dpk.reshape(g, t, c3).astype(dout_ref.dtype)
 

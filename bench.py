@@ -129,6 +129,10 @@ def main():
     # slightly conservative.
     _ = float(jax.jit(lambda: jnp.zeros(()))()[...])   # flip to sync mode
 
+    # Per-iteration scalar readbacks would add the ~35ms tunnel RTT to every
+    # step, so instead K steps are dispatched back-to-back and ONE readback
+    # closes the batch: the device stream executes in order, so the last
+    # step's completion implies all completed. One RTT amortized over K.
     if args.mode == 'infer':
         variables = {'params': state.params, 'batch_stats': state.batch_stats}
 
@@ -139,24 +143,23 @@ def main():
         t0 = time.time()
         _ = float(step(batch)[0, 0, 0])
         compile_s = time.time() - t0
-        times = []
+        t0 = time.time()
         for _i in range(args.iters):
-            t0 = time.time()
-            _ = float(step(batch)[0, 0, 0])
-            times.append(time.time() - t0)
+            out = step(batch)
+        _ = float(out[0, 0, 0])
+        med = (time.time() - t0) / args.iters
     else:
         tstep = make_train_step(cfg, spec, model, donate=False)
         key = jax.random.PRNGKey(0)
         t0 = time.time()
         state, m = tstep(state, batch, key)
+        _ = float(m['loss'])
         compile_s = time.time() - t0
-        times = []
+        t0 = time.time()
         for _i in range(args.iters):
-            t0 = time.time()
             state, m = tstep(state, batch, key)
-            _ = float(m['loss'])
-            times.append(time.time() - t0)
-    med = float(np.median(times))
+        _ = float(m['loss'])
+        med = (time.time() - t0) / args.iters
     pts_per_sec = args.batch_size * args.n_points / med
 
     print(json.dumps({

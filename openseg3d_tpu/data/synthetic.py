@@ -80,10 +80,27 @@ class SyntheticDataset:
         xyz = np.concatenate([ground, struct]).astype(np.float32)
         feats = rng.randn(n, self.dim_point - 3).astype(np.float32)
         points = np.concatenate([xyz, feats], 1)
-        # learnable labels: ground class for low points, per-cluster class above
+        # learnable labels: ground is 'Road' (17); each structure cluster's
+        # class is a FIXED geometric code of its center — azimuth sector (7)
+        # x radial band (3) -> the 21 non-ground classes. The same map holds
+        # in every frame, so position->class is consistent and a model can
+        # generalize to held-out frames (cluster-id % k, used before, was
+        # random w.r.t. geometry across frames and capped mIoU near chance).
         labels = np.empty(n, np.int64)
-        labels[:n_ground] = 17  # 'Road'
-        labels[n_ground:] = (ci % (self.num_classes - 1)).astype(np.int64)
+        labels[:n_ground] = 17
+        az_c = np.arctan2(centers[:, 1], centers[:, 0])
+        r_c = np.hypot(centers[:, 0], centers[:, 1])
+        sector = np.minimum((az_c + np.pi) / (2 * np.pi) * 7, 6.0).astype(np.int64)
+        r_max = float(np.hypot(span[0], span[1])) * 0.9
+        band = np.minimum(r_c / r_max * 3, 2.0).astype(np.int64)
+        struct_classes = np.asarray(
+            [c for c in range(self.num_classes) if c != 17], np.int64)
+        labels[n_ground:] = struct_classes[(band * 7 + sector)[ci]]
+        # intensity carries a class cue too (real LiDAR intensity correlates
+        # with material). Unlike the positional code this survives TTA's
+        # rotations/flips untouched, so TTA softmax-averaging stays sound.
+        points[:, 3] = (labels / self.num_classes - 0.5) * 2.0 \
+            + 0.4 * points[:, 3]
         return points, labels
 
     def prepare_data(self, d):
@@ -101,10 +118,14 @@ class SyntheticDataset:
             d['point_voxel_ids'], d['point_labels'],
             d['voxel_coords'].shape[0], self.ignore_index)
 
-    def __getitem__(self, index):
+    def load_raw(self, index):
+        """Raw cartesian sample, pre-prepare_data (see WaymoDataset.load_raw)."""
         points, labels = self._frame(index)
-        d = {'filename': f'synthetic-{index:06d}-{index}',
-             'points': points, 'point_labels': labels}
+        return {'filename': f'synthetic-{index:06d}-{index}',
+                'points': points, 'point_labels': labels}
+
+    def __getitem__(self, index):
+        d = self.load_raw(index)
         d = self.prepare_data(d)
         self.prepare_voxel_labels(d)
         return d

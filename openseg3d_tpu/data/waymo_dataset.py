@@ -209,6 +209,17 @@ class WaymoDataset:
         return len(self.filenames)
 
     def __getitem__(self, index):
+        d = self.load_raw(index)
+        d = self.prepare_data(d)
+        if self.mode != 'testing':
+            self.prepare_voxel_labels(d)
+        return d
+
+    def load_raw(self, index):
+        """Load a sample BEFORE prepare_data: cartesian points, labels, aug.
+        TTA (MultiScaleFlipAug) must transform this raw form — prepare_data
+        rewrites 'points' into cylinder layout and voxelizes, so transforming
+        a prepared sample would rotate (rho, phi, z) columns."""
         filename = self.filenames[index]
         d = {'filename': filename}
 
@@ -251,10 +262,6 @@ class WaymoDataset:
         if self.mode == 'testing':
             sel = d.get('cur_point_indices', slice(None))
             d['points_ri'] = pts[sel][:, -3:].astype(np.int32)
-
-        d = self.prepare_data(d)
-        if self.mode != 'testing':
-            self.prepare_voxel_labels(d)
         return d
 
     def load_padded(self, index):

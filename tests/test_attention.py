@@ -167,3 +167,37 @@ def test_train_kernel_dropout_tpu():
     num = (float(f(packed + eps * dvec)) - float(f(packed - eps * dvec))) / (2 * eps)
     ana = float(jnp.vdot(gk, dvec))
     np.testing.assert_allclose(num, ana, rtol=5e-3, atol=5e-2)
+
+
+def test_train_kernel_chunked_rows_match_oracle(monkeypatch):
+    """Query-row chunking (the T=800 VMEM fix) must be semantically invisible:
+    force _row_chunk to pick a chunk smaller than the row count and re-check
+    fwd + grad parity against the einsum oracle at a small shape."""
+    import openseg3d_tpu.ops.attention as A
+
+    monkeypatch.setattr(A, '_row_chunk', lambda r, rk, c3, isz: max(r // 4, 8))
+    rng = np.random.RandomState(3)
+    t, c, nh = 32, 48, 8
+    g = A._train_group(t, c, 4)
+    n = 2 * max(g, 1)
+    q, k, v, bias = _case(rng, n, t, c, frac_pad=0.3)
+    packed = jnp.concatenate([q, k, v], axis=-1)
+    w = jnp.asarray(rng.randn(n, t, c), jnp.float32)
+    seed = jnp.zeros((1,), jnp.int32)
+    r = g * t
+    assert max(r // 4, 8) < r  # the forced chunk actually splits rows
+
+    def loss_k(p):
+        o = A.window_attention_packed_train(p, bias, seed, nh, 0.0, True)
+        return jnp.sum(o * w)
+
+    def loss_o(p):
+        o = reference_window_attention(p[..., :c], p[..., c:2 * c],
+                                       p[..., 2 * c:], bias, nhead=nh)
+        return jnp.sum(o * w)
+
+    fk, gk = jax.value_and_grad(loss_k)(packed)
+    fo, go = jax.value_and_grad(loss_o)(packed)
+    np.testing.assert_allclose(float(fk), float(fo), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(go),
+                               rtol=2e-4, atol=2e-4)

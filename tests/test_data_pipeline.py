@@ -171,12 +171,32 @@ def test_tta_variants(tmp_path):
     ds = WaymoDataset(cfg, str(tmp_path), mode='validation')
     tta = MultiScaleFlipAug(ds, scales=[0.95, 1.05], angles=[0.0],
                             flip_x=True, flip_y=False)
-    raw = ds[0]
+    raw = ds.load_raw(0)
     variants = list(tta(raw))
     assert len(variants) == tta.num_variants() == 4
     for v in variants:
         assert v['points'].shape == (1, 1024, 6)
         assert v['voxel_labels'].shape == (1, 512)
+
+
+def test_tta_identity_variant_matches_plain_pipeline(tmp_path):
+    """Regression: TTA must transform the RAW sample. Feeding __getitem__
+    output (already cylinder-transformed + voxelized) through TTA rotated
+    (rho, phi, z) columns and re-voxelized twice. The identity variant must
+    reproduce the plain eval batch exactly."""
+    from openseg3d_tpu.data.batch import collate_padded
+    _make_waymo_tree(str(tmp_path))
+    # cylinder on: the strongest form of the bug (prepare_data REPLACES the
+    # xyz columns with rho/phi/z, so a second pass visibly corrupts them)
+    cfg = tiny_cfg(DATASET={'USE_CYLINDER': True})
+    ds = WaymoDataset(cfg, str(tmp_path), mode='validation')
+    tta = MultiScaleFlipAug(ds, scales=[1.0], angles=[0.0],
+                            flip_x=False, flip_y=False)
+    (ident,) = list(tta(ds.load_raw(0)))
+    plain = collate_padded([ds.pad(ds[0])])
+    for k in ('points', 'voxel_coords', 'point_voxel_ids', 'point_labels',
+              'voxel_labels'):
+        np.testing.assert_allclose(ident[k], plain[k], atol=1e-6, err_msg=k)
 
 
 def test_loader_inline(tmp_path):

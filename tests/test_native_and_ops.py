@@ -93,3 +93,33 @@ def test_sectorized_fps():
     picks = np.array(idx)
     assert picks.shape == (16,)
     assert np.all(picks >= -1) and np.all(picks < 256)
+
+def test_query_and_group_oracle():
+    from openseg3d_tpu.utils.pointops import query_and_group
+    rng = np.random.RandomState(5)
+    P, Q, C, k = 50, 13, 4, 3
+    xyz = rng.randn(P, 3).astype(np.float32)
+    nxyz = rng.randn(Q, 3).astype(np.float32)
+    feat = rng.randn(P, C).astype(np.float32)
+    out = np.asarray(query_and_group(k, jnp.asarray(xyz), jnp.asarray(nxyz),
+                                     jnp.asarray(feat)))
+    assert out.shape == (Q, k, 3 + C)
+    d = np.linalg.norm(nxyz[:, None] - xyz[None], axis=-1)
+    for qi in range(Q):
+        nbr = set(np.argsort(d[qi])[:k])
+        got_xyz = out[qi, :, :3] + nxyz[qi]
+        for s in range(k):
+            pj = int(np.argmin(np.linalg.norm(xyz - got_xyz[s], axis=1)))
+            assert pj in nbr
+            np.testing.assert_allclose(out[qi, s, 3:], feat[pj], rtol=1e-5)
+
+
+def test_query_and_group_invalid_idx_zeroed():
+    from openseg3d_tpu.utils.pointops import query_and_group
+    xyz = np.arange(12, dtype=np.float32).reshape(4, 3)
+    feat = np.ones((4, 2), np.float32)
+    idx = np.array([[0, -1], [2, 3]], np.int32)
+    out = np.asarray(query_and_group(2, jnp.asarray(xyz), jnp.asarray(xyz[:2]),
+                                     jnp.asarray(feat), idx=jnp.asarray(idx)))
+    np.testing.assert_array_equal(out[0, 1], 0.0)
+    assert np.all(out[1, :, 3:] == 1.0)

@@ -77,10 +77,14 @@ def main():
 
     metric = IOUMetric(dataset.class_names)
     for i in range(len(dataset)):
-        raw = dataset[i]
-        labels = raw['point_labels']
+        # TTA must start from the RAW cartesian sample: __getitem__ output is
+        # already cylinder-transformed + voxelized, and re-running
+        # prepare_data on it would corrupt every variant.
+        raw = dataset.load_raw(i)
         if args.no_tta:
-            b = collate_padded([dataset.pad(raw)])
+            prepared = dataset.prepare_data(raw)
+            dataset.prepare_voxel_labels(prepared)
+            b = collate_padded([dataset.pad(prepared)])
             b = {k: jnp.asarray(v) for k, v in b.items() if k != 'batch_size'}
             probs = np.asarray(forward(b))[0]
             mask = np.asarray(b['point_mask'][0]) & np.asarray(b['cur_point_mask'][0])

@@ -38,8 +38,10 @@ def main():
     from openseg3d_tpu.core.metrics import IOUMetric
     from openseg3d_tpu.data.test_time_aug import MultiScaleFlipAug
     from openseg3d_tpu.data.batch import collate_padded
+    from openseg3d_tpu.utils.jax_cache import enable_compilation_cache
     import jax
     import jax.numpy as jnp
+    enable_compilation_cache()
 
     logger = get_root_logger(os.path.join(args.save_dir, 'eval.log'))
     cfg = cfg_from_file(args.cfg_file)
@@ -70,6 +72,12 @@ def main():
         out = model.apply(variables, batch, train=False)
         return jax.nn.softmax(out['point_out'].astype(jnp.float32), axis=-1)
 
+    # TTA accumulation stays ON DEVICE: reading the [N, 22] prob tensor back
+    # per variant costs ~14MB x 36 through the axon tunnel; accumulating in
+    # HBM and reading back one int32 argmax per frame removes ~99% of that.
+    accum = jax.jit(lambda a, p: a + p)
+    dev_argmax = jax.jit(lambda a: jnp.argmax(a, axis=-1))
+
     # TTA protocol (tools/eval.py:97-100)
     tta = MultiScaleFlipAug(dataset, scales=[0.95, 1.0, 1.05],
                             angles=[-np.pi / 4, 0.0, np.pi / 4],
@@ -86,7 +94,7 @@ def main():
             dataset.prepare_voxel_labels(prepared)
             b = collate_padded([dataset.pad(prepared)])
             b = {k: jnp.asarray(v) for k, v in b.items() if k != 'batch_size'}
-            probs = np.asarray(forward(b))[0]
+            preds = np.asarray(dev_argmax(forward(b)[0]))
             mask = np.asarray(b['point_mask'][0]) & np.asarray(b['cur_point_mask'][0])
             gt = np.asarray(b['point_labels'][0])
         else:
@@ -96,15 +104,14 @@ def main():
             acc, mask, gt = None, None, None
             for b in tta(raw):
                 bj = {k: jnp.asarray(v) for k, v in b.items() if k != 'batch_size'}
-                p = np.asarray(forward(bj))[0]
+                p = forward(bj)[0]
                 if acc is None:
-                    acc = np.array(p)
+                    acc = p
                     mask = np.asarray(b['point_mask'][0]) & np.asarray(b['cur_point_mask'][0])
                     gt = np.asarray(b['point_labels'][0])
                 else:
-                    acc += p
-            probs = acc
-        preds = probs.argmax(-1)
+                    acc = accum(acc, p)
+            preds = np.asarray(dev_argmax(acc))
         metric.add(preds[mask], gt[mask])
         if (i + 1) % args.log_iter_interval == 0:
             logger.info('evaluated [%d/%d]', i + 1, len(dataset))

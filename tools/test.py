@@ -37,8 +37,10 @@ def main():
     from openseg3d_tpu.models.optim import build_optimizer, build_schedule
     from openseg3d_tpu.data.waymo_dataset import WaymoDataset
     from openseg3d_tpu.data.batch import collate_padded
+    from openseg3d_tpu.utils.jax_cache import enable_compilation_cache
     import jax
     import jax.numpy as jnp
+    enable_compilation_cache()
 
     logger = get_root_logger(os.path.join(args.save_dir, 'test.log'))
     cfg = cfg_from_file(args.cfg_file)

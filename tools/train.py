@@ -81,7 +81,9 @@ def main():
                                       make_train_step, make_eval_step)
     from openseg3d_tpu.models.optim import build_optimizer, build_schedule
     from openseg3d_tpu.data.loader import DataLoader
+    from openseg3d_tpu.utils.jax_cache import enable_compilation_cache
     import jax
+    enable_compilation_cache()
 
     rank, world = init_distributed()
     logger = get_root_logger(os.path.join(args.save_dir, 'train.log'))

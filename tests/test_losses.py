@@ -113,3 +113,45 @@ def test_all_losses_finite_gradients():
         v = jax.jit(fn)(logits, ig)
         g = jax.jit(jax.grad(fn))(logits, ig)
         assert float(v) == 0.0 and bool(jnp.isfinite(g).all())
+
+
+def test_lovasz_custom_vjp_matches_autodiff_reference():
+    """The sort-payload forward + sort-based backward (no permutation
+    gathers/scatters) must reproduce the plain argsort+gather implementation's
+    loss AND gradient exactly."""
+
+    def reference(logits, labels, ignore_index=255):
+        valid = (labels != ignore_index) & (labels >= 0)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        safe = jnp.where(valid, labels, 0)
+
+        def one_class(c):
+            fgf = ((safe == c) & valid).astype(jnp.float32)
+            errors = jnp.where(valid, jnp.abs(fgf - probs[:, c]), -jnp.inf)
+            order = jnp.argsort(errors, descending=True)
+            errors_sorted = errors[order]
+            fg_sorted = fgf[order]
+            valid_sorted = valid[order].astype(jnp.float32)
+            gts = jnp.sum(fgf)
+            inter = gts - jnp.cumsum(fg_sorted)
+            union = gts + jnp.cumsum(valid_sorted * (1.0 - fg_sorted))
+            jacc = 1.0 - inter / jnp.maximum(union, 1.0)
+            w = jnp.concatenate([jacc[:1], jacc[1:] - jacc[:-1]])
+            loss_c = jnp.sum(jax.nn.relu(
+                jnp.where(jnp.isfinite(errors_sorted), errors_sorted, 0.0)) * w)
+            return loss_c, (gts > 0).astype(jnp.float32)
+
+        losses, present = jax.vmap(one_class)(jnp.arange(logits.shape[-1]))
+        return jnp.sum(losses * present) / jnp.maximum(jnp.sum(present), 1.0)
+
+    rng = np.random.RandomState(11)
+    logits = jnp.asarray(rng.randn(512, 7).astype(np.float32))
+    labels = jnp.asarray(np.where(rng.rand(512) < 0.15, 255,
+                                  rng.randint(0, 7, 512)))
+    l_new = float(jax.jit(lovasz_softmax_loss)(logits, labels))
+    l_ref = float(jax.jit(reference)(logits, labels))
+    np.testing.assert_allclose(l_new, l_ref, rtol=1e-6)
+    g_new = jax.jit(jax.grad(lovasz_softmax_loss))(logits, labels)
+    g_ref = jax.jit(jax.grad(reference))(logits, labels)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               atol=1e-9, rtol=1e-5)

@@ -28,7 +28,8 @@ def analyze(trace_dir: str, top: int = 30) -> None:
 
     files = glob.glob(trace_dir + '/**/*.xplane.pb', recursive=True)
     agg, cnt = defaultdict(float), defaultdict(int)
-    total = 0.0
+    total = async_total = 0.0
+    n_steps = 0
     for f in files:
         xs = xplane_pb2.XSpace()
         with open(f, 'rb') as fh:
@@ -38,7 +39,18 @@ def analyze(trace_dir: str, top: int = 30) -> None:
                 continue
             ev_names = {i: m.name for i, m in plane.event_metadata.items()}
             for line in plane.lines:
-                if 'xla' not in line.name.lower():
+                # ONLY the 'XLA Ops' line is additive serial device time (its
+                # sum matches the wall step time exactly). 'Async XLA Ops'
+                # holds in-flight DMA durations that OVERLAP compute, and
+                # 'XLA Modules'/'Steps' are containers — summing any of them
+                # in quadruples the totals (observed 7.5s "per step" vs the
+                # real 1.15s).
+                if line.name == 'Steps':
+                    n_steps += len(line.events)
+                if line.name == 'Async XLA Ops':
+                    async_total += sum(ev.duration_ps / 1e9
+                                       for ev in line.events)
+                if line.name != 'XLA Ops':
                     continue
                 for ev in line.events:
                     name = ev_names.get(ev.metadata_id, '?')
@@ -62,7 +74,10 @@ def analyze(trace_dir: str, top: int = 30) -> None:
     bagg = defaultdict(float)
     for k, v in agg.items():
         bagg[bucket(k)] += v
-    print(f'total attributed device ms: {total:.1f}')
+    steps = max(n_steps, 1)
+    print(f'total attributed device ms: {total:.1f} over {n_steps} steps '
+          f'= {total / steps:.1f} ms/step '
+          f'(async DMA in flight, overlapped: {async_total / steps:.1f} ms/step)')
     print('== by bucket ==')
     for k, v in sorted(bagg.items(), key=lambda x: -x[1]):
         print(f'  {k:22s} {v:10.1f} ms')

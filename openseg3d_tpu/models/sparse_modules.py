@@ -31,13 +31,19 @@ class SparseConv(nn.Module):
         k3 = rulebook.in_idx.shape[1] if isinstance(rulebook, Rulebook) else 27
         w = self.param('kernel', nn.initializers.kaiming_normal(),
                        (k3, x.shape[-1], self.features))
-        # checkpoint the gather-GEMM: without it every conv's backward keeps
-        # its [B, K, Vo, Cin] gathered-neighbor tensor alive in HBM (the
-        # round-1 20.3G train OOM at Waymo caps); recomputing the gather in
-        # the backward trades one extra row-gather per conv for ~GBs
-        y = jax.checkpoint(
-            lambda xx, ww: apply_subm(xx, rulebook, ww, out_mask,
-                                      compute_dtype=xx.dtype))(x, w)
+        if isinstance(rulebook, Rulebook):
+            # checkpoint the gather-GEMM: without it every conv's backward
+            # keeps its [B, K, Vo, Cin] gathered-neighbor tensor alive in HBM
+            # (the round-1 20.3G train OOM at Waymo caps); recomputing the
+            # gather in the backward trades one extra row-gather for ~GBs
+            y = jax.checkpoint(
+                lambda xx, ww: apply_subm(xx, rulebook, ww, out_mask,
+                                          compute_dtype=xx.dtype))(x, w)
+        else:
+            # planar convs carry a custom VJP whose residuals are just the
+            # conv INPUTS — nothing big is saved, so remat would only add a
+            # full recomputed gather pass per conv to the backward
+            y = apply_subm(x, rulebook, w, out_mask, compute_dtype=x.dtype)
         if self.use_bias:
             b = self.param('bias', nn.initializers.zeros, (self.features,))
             y = jnp.where(out_mask[..., None], y + b.astype(y.dtype), 0)

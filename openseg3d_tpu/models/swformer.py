@@ -162,6 +162,12 @@ class WindowAttention(nn.Module):
                                 ).reshape(b * w, t, c).astype(pack.dtype)
             outs.append(o3.reshape(b, w * t, c))
         cat = jnp.concatenate(outs, axis=1)                   # [B, total, C]
+        # named so the SWFormerBlock remat policy can SAVE the attention-core
+        # outputs: the block's backward then skips re-running the forward
+        # attention kernels (1/3 of the attention custom-call time) at the
+        # cost of one [B, total, C] bf16 buffer per layer (~12MB)
+        from jax.ad_checkpoint import checkpoint_name
+        cat = checkpoint_name(cat, 'attn_core')
         g3 = jnp.take_along_axis(cat, jnp.maximum(comb, 0)[..., None], axis=1)
         out = jnp.where((comb >= 0)[..., None], g3, 0)
         out = nn.Dense(c, name='out_proj', dtype=feat.dtype)(out.astype(feat.dtype))
@@ -261,7 +267,9 @@ class SWFormerBlock(nn.Module):
             if n == 0:
                 continue
             Scan = nn.scan(
-                nn.remat(EncoderLayer, static_argnums=()),
+                nn.remat(EncoderLayer, static_argnums=(),
+                         policy=jax.checkpoint_policies.save_only_these_names(
+                             'attn_core')),
                 variable_axes={'params': 0},
                 split_rngs={'params': True, 'dropout': True},
                 in_axes=((nn.broadcast, nn.broadcast, 0),),

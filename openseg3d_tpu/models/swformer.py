@@ -140,12 +140,19 @@ class WindowAttention(nn.Module):
             w, t = spec.num_windows, spec.max_tokens
             seg = big[:, offs[li]:offs[li + 1]].reshape(b * w, t, 3 * c)
             bias2 = biases[li].reshape(b * w, t)
+            # true packed window count per sample: kernel grid blocks past it
+            # are all padding and skip compute (capacity W is sized for the
+            # worst case; typical frames fill a fraction of it)
+            nw = jnp.minimum(part.shifts[self.shift].num_windows[:, li],
+                             w).astype(jnp.int32)
             if on_tpu and self._level_fits(spec, pack.dtype.itemsize, train):
                 if train:
                     o3 = window_attention_packed_train(
-                        seg, bias2, seeds[li:li + 1], h, float(self.attn_drop))
+                        seg, bias2, seeds[li:li + 1], nw, h,
+                        float(self.attn_drop))
                 else:
-                    o3 = fused_window_attention_packed(seg, bias2, nhead=h)
+                    o3 = fused_window_attention_packed(seg, bias2, nhead=h,
+                                                       nw=nw)
             else:
                 # einsum core on the same windowed segment (non-TPU backends
                 # and levels whose backward would overflow VMEM)

@@ -71,43 +71,63 @@ def _query_chunk(t: int, c: int, itemsize: int) -> int:
     return best
 
 
-def _kernel_packed(q_ref, kv_ref, bias_ref, out_ref, *, nhead: int):
+def _kernel_packed(nw_ref, q_ref, kv_ref, bias_ref, out_ref, *, nhead: int,
+                   wps: int, stride: int):
     """Packed variant: q_ref/kv_ref are (possibly row-chunked / whole-window)
     blocks of the SAME [N, T, 3C] array; lane blocking below 128 is not
-    allowed, so q/k/v are static lane slices taken in-kernel."""
-    gq, tq, c3 = q_ref.shape
-    g, t, _ = kv_ref.shape
-    c = c3 // 3
-    r, rk = gq * tq, g * t
-    hd = c // nhead
-    p_q = q_ref[:].reshape(r, c3)
-    p_kv = kv_ref[:].reshape(rk, c3)
-    q = p_q[:, :c]
-    k = p_kv[:, c:2 * c]
-    v = p_kv[:, 2 * c:]
-    i = pl.program_id(0)
-    bias = bias_ref[pl.ds(i, 1), :].astype(jnp.float32)
-    if g > 1:
-        same_win = (jax.lax.broadcasted_iota(jnp.int32, (r, rk), 0) // t ==
-                    jax.lax.broadcasted_iota(jnp.int32, (r, rk), 1) // t)
-        bias = jnp.where(same_win, bias, -1e9)
+    allowed, so q/k/v are static lane slices taken in-kernel.
 
-    dn_qk = (((1,), (1,)), ((), ()))
-    dn_av = (((1,), (0,)), ((), ()))
-    lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) // hd
-    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
-    out = jnp.zeros((r, c), jnp.float32)
-    for h in range(nhead):
-        mask = (lane_head == h).astype(q.dtype)
-        logits = jax.lax.dot_general(q * mask, k, dn_qk, precision=prec,
+    nw_ref (SMEM, [B]) is the true window count per sample and level: window
+    ranks are densely packed from 0 (ops/window._shift_partition cumsum), so a
+    grid block whose first window rank >= nw is entirely padding — its v rows
+    are all zero and its output would be exactly zero. Skip the matmuls and
+    just write zeros (capacity-padded levels typically run 2-4x more blocks
+    than real windows)."""
+    gq, tq, c3 = q_ref.shape
+    _, t, _ = kv_ref.shape
+    c = c3 // 3
+    i = pl.program_id(0)
+    # stride = windows per grid step along dim 0 (g for the grouped path, 1
+    # for the query-chunked path whose grid is (n, t//qc))
+    win_rank = (i * stride) % wps             # first window of this block
+    sample = (i * stride) // wps
+
+    @pl.when(win_rank >= nw_ref[sample])
+    def _zero():
+        out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    @pl.when(win_rank < nw_ref[sample])
+    def _compute():
+        r, rk = gq * tq, kv_ref.shape[0] * t
+        hd = c // nhead
+        p_q = q_ref[:].reshape(r, c3)
+        p_kv = kv_ref[:].reshape(rk, c3)
+        q = p_q[:, :c]
+        k = p_kv[:, c:2 * c]
+        v = p_kv[:, 2 * c:]
+        bias = bias_ref[pl.ds(i, 1), :].astype(jnp.float32)
+        if kv_ref.shape[0] > 1:
+            same_win = (jax.lax.broadcasted_iota(jnp.int32, (r, rk), 0) // t ==
+                        jax.lax.broadcasted_iota(jnp.int32, (r, rk), 1) // t)
+            bias = jnp.where(same_win, bias, -1e9)
+
+        dn_qk = (((1,), (1,)), ((), ()))
+        dn_av = (((1,), (0,)), ((), ()))
+        lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) // hd
+        prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        out = jnp.zeros((r, c), jnp.float32)
+        for h in range(nhead):
+            mask = (lane_head == h).astype(q.dtype)
+            logits = jax.lax.dot_general(q * mask, k, dn_qk, precision=prec,
+                                         preferred_element_type=jnp.float32)
+            logits = logits + bias
+            attn = jax.nn.softmax(logits, axis=-1)
+            oh = jax.lax.dot_general(attn.astype(v.dtype), v, dn_av,
+                                     precision=prec,
                                      preferred_element_type=jnp.float32)
-        logits = logits + bias
-        attn = jax.nn.softmax(logits, axis=-1)
-        oh = jax.lax.dot_general(attn.astype(v.dtype), v, dn_av, precision=prec,
-                                 preferred_element_type=jnp.float32)
-        out = out + oh * mask.astype(jnp.float32)
-    out_ref[:] = out.reshape(gq, tq, c).astype(out_ref.dtype)
+            out = out + oh * mask.astype(jnp.float32)
+        out_ref[:] = out.reshape(gq, tq, c).astype(out_ref.dtype)
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, nhead: int):
@@ -198,11 +218,16 @@ def fused_window_attention(q, k, v, bias, nhead: int, interpret: bool = False):
 
 @functools.partial(jax.jit, static_argnames=('nhead', 'interpret'))
 def fused_window_attention_packed(packed, bias, nhead: int,
-                                  interpret: bool = False):
+                                  interpret: bool = False, nw=None):
     """Same kernel, but q|k|v ride in ONE packed [N, T, 3C] array (lane blocks
     0/1/2). This lets the caller scatter window buffers ONCE per layer instead
     of three times — scatters cost per ROW, not per byte, and dominate the
-    XLA side of the attention layer (profiled ~0.9ms per [V]-row scatter)."""
+    XLA side of the attention layer (profiled ~0.9ms per [V]-row scatter).
+
+    nw: optional int32 [B] with B dividing N — true (densely packed) window
+    count per sample; N/B is the per-sample window capacity. Blocks past nw
+    skip compute and write zeros (their output is exactly zero anyway: padded
+    windows hold all-zero v rows)."""
     n, t, c3 = packed.shape
     assert c3 % 3 == 0
     c = c3 // 3
@@ -212,10 +237,18 @@ def fused_window_attention_packed(packed, bias, nhead: int,
     assert n % g == 0, (n, g)
     assert t % 16 == 0, f'window max_tokens must be a multiple of 16, got {t}'
     bias_rows = bias.reshape(n // g, g * t)
+    if nw is None:
+        nw_arr = jnp.full((1,), n, jnp.int32)     # no skipping
+        wps = n
+    else:
+        nw_arr = jnp.asarray(nw, jnp.int32)
+        assert n % nw_arr.shape[0] == 0, (n, nw_arr.shape)
+        wps = n // nw_arr.shape[0]
 
     qc = _query_chunk(t, 3 * c, packed.dtype.itemsize)
     if g == 1 and qc < t:
         grid = (n, t // qc)
+        stride = 1
         q_spec = pl.BlockSpec((1, qc, c3), lambda i, j: (i, j, 0),
                               memory_space=pltpu.VMEM)
         kv_spec = pl.BlockSpec((1, t, c3), lambda i, j: (i, 0, 0),
@@ -224,20 +257,21 @@ def fused_window_attention_packed(packed, bias, nhead: int,
                                 memory_space=pltpu.VMEM)
     else:
         grid = (n // g,)
+        stride = g
         q_spec = pl.BlockSpec((g, t, c3), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
         kv_spec = q_spec
         out_spec = pl.BlockSpec((g, t, c), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_kernel_packed, nhead=nhead),
+        functools.partial(_kernel_packed, nhead=nhead, wps=wps, stride=stride),
         grid=grid,
-        in_specs=[q_spec, kv_spec,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), q_spec, kv_spec,
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((n, t, c), packed.dtype),
         interpret=interpret,
-    )(packed, packed, bias_rows)
+    )(nw_arr, packed, packed, bias_rows)
 
 
 def _train_group(t: int, c: int, itemsize: int) -> int:
@@ -278,78 +312,112 @@ def _row_chunk(r: int, rk: int, c3: int, itemsize: int) -> int:
     return best
 
 
-def _kernel_packed_train(seed_ref, pk_ref, bias_ref, out_ref, *,
-                         nhead: int, drop_rate: float):
+def _kernel_packed_train(seed_ref, nw_ref, pk_ref, bias_ref, out_ref, *,
+                         nhead: int, drop_rate: float, wps: int):
     """Forward train kernel: eval kernel + attention dropout after softmax
     (cosine_msa.py:174 F.dropout on attn weights). Seeded per grid step.
     Unlike the eval kernel, q and k/v share ONE packed operand block, halving
     the streamed VMEM blocks. Query rows are processed in static chunks
     (chunk-outer, head-inner) — required for VMEM at T=800, and the SAME
     chunk/head loop order as the backward so both consume the dropout PRNG
-    stream identically."""
+    stream identically. Blocks whose windows are all past the true per-sample
+    window count nw_ref skip compute and write zeros (identical in both fwd
+    and bwd — per-grid-step seeding keeps surviving blocks' streams intact)."""
     g, t, c3 = pk_ref.shape
     c = c3 // 3
-    r = rk = g * t
-    hd = c // nhead
-    if drop_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    inv_keep = 1.0 / max(1.0 - drop_rate, 1e-6)
-    p_all = pk_ref[:].reshape(r, c3)
-    q = p_all[:, :c]
-    k = p_all[:, c:2 * c]
-    v = p_all[:, 2 * c:]
     i = pl.program_id(0)
-    bias = bias_ref[pl.ds(i, 1), :].astype(jnp.float32)
-    if g > 1:
-        same_win = (jax.lax.broadcasted_iota(jnp.int32, (r, rk), 0) // t ==
-                    jax.lax.broadcasted_iota(jnp.int32, (r, rk), 1) // t)
-        bias = jnp.where(same_win, bias, -1e9)
+    win_rank = (i * g) % wps
+    sample = (i * g) // wps
 
-    dn_qk = (((1,), (1,)), ((), ()))
-    dn_av = (((1,), (0,)), ((), ()))
-    lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) // hd
-    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
-    qc = _row_chunk(r, rk, c3, jnp.dtype(pk_ref.dtype).itemsize)
-    out_rows = []
-    for s in range(0, r, qc):
-        qs = q[s:s + qc]
-        bias_s = bias if bias.shape[0] == 1 else bias[s:s + qc]
-        out_s = jnp.zeros((qc, c), jnp.float32)
-        for h in range(nhead):
-            mask = (lane_head == h).astype(q.dtype)
-            logits = jax.lax.dot_general(qs * mask, k, dn_qk, precision=prec,
+    @pl.when(win_rank >= nw_ref[sample])
+    def _zero():
+        out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    @pl.when(win_rank < nw_ref[sample])
+    def _compute():
+        r = rk = g * t
+        hd = c // nhead
+        if drop_rate > 0.0:
+            pltpu.prng_seed(seed_ref[0] + i)
+        inv_keep = 1.0 / max(1.0 - drop_rate, 1e-6)
+        p_all = pk_ref[:].reshape(r, c3)
+        q = p_all[:, :c]
+        k = p_all[:, c:2 * c]
+        v = p_all[:, 2 * c:]
+        bias = bias_ref[pl.ds(i, 1), :].astype(jnp.float32)
+        if g > 1:
+            same_win = (jax.lax.broadcasted_iota(jnp.int32, (r, rk), 0) // t ==
+                        jax.lax.broadcasted_iota(jnp.int32, (r, rk), 1) // t)
+            bias = jnp.where(same_win, bias, -1e9)
+
+        dn_qk = (((1,), (1,)), ((), ()))
+        dn_av = (((1,), (0,)), ((), ()))
+        lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) // hd
+        prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        qc = _row_chunk(r, rk, c3, jnp.dtype(pk_ref.dtype).itemsize)
+        out_rows = []
+        for s in range(0, r, qc):
+            qs = q[s:s + qc]
+            bias_s = bias if bias.shape[0] == 1 else bias[s:s + qc]
+            out_s = jnp.zeros((qc, c), jnp.float32)
+            for h in range(nhead):
+                mask = (lane_head == h).astype(q.dtype)
+                logits = jax.lax.dot_general(qs * mask, k, dn_qk,
+                                             precision=prec,
+                                             preferred_element_type=jnp.float32)
+                attn = jax.nn.softmax(logits + bias_s, axis=-1)
+                if drop_rate > 0.0:
+                    attn = attn * (_dropout_mask((qc, rk), drop_rate) * inv_keep)
+                oh = jax.lax.dot_general(attn.astype(v.dtype), v, dn_av,
+                                         precision=prec,
                                          preferred_element_type=jnp.float32)
-            attn = jax.nn.softmax(logits + bias_s, axis=-1)
-            if drop_rate > 0.0:
-                attn = attn * (_dropout_mask((qc, rk), drop_rate) * inv_keep)
-            oh = jax.lax.dot_general(attn.astype(v.dtype), v, dn_av,
-                                     precision=prec,
-                                     preferred_element_type=jnp.float32)
-            out_s = out_s + oh * mask.astype(jnp.float32)
-        out_rows.append(out_s)
-    out = out_rows[0] if len(out_rows) == 1 else jnp.concatenate(out_rows, 0)
-    out_ref[:] = out.reshape(g, t, c).astype(out_ref.dtype)
+                out_s = out_s + oh * mask.astype(jnp.float32)
+            out_rows.append(out_s)
+        out = (out_rows[0] if len(out_rows) == 1
+               else jnp.concatenate(out_rows, 0))
+        out_ref[:] = out.reshape(g, t, c).astype(out_ref.dtype)
 
 
-def _kernel_packed_bwd(seed_ref, pk_ref, bias_ref, g_ref, dout_ref, *,
-                       nhead: int, drop_rate: float):
+def _kernel_packed_bwd(seed_ref, nw_ref, pk_ref, bias_ref, g_ref, dout_ref, *,
+                       nhead: int, drop_rate: float, wps: int):
     """Backward: recompute attn per head in VMEM (flash-style — nothing but
     q/k/v/g ever touches HBM), regenerate the dropout mask from the same
-    seed/stream, and emit dq|dk|dv packed on the lane axis."""
+    seed/stream, and emit dq|dk|dv packed on the lane axis. Skips the same
+    all-padding blocks as the forward (their dq/dk/dv are exactly zero: the
+    cotangent rows entering padded windows are zero)."""
+    gw, t, c3 = pk_ref.shape
+    c = c3 // 3
+    i = pl.program_id(0)
+    win_rank = (i * gw) % wps
+    sample = (i * gw) // wps
+
+    @pl.when(win_rank >= nw_ref[sample])
+    def _zero():
+        dout_ref[:] = jnp.zeros(dout_ref.shape, dout_ref.dtype)
+
+    @pl.when(win_rank < nw_ref[sample])
+    def _compute():
+        _kernel_packed_bwd_body(i, seed_ref, pk_ref, bias_ref, g_ref,
+                                dout_ref, nhead=nhead, drop_rate=drop_rate)
+
+
+def _kernel_packed_bwd_body(i, seed_ref, pk_ref, bias_ref, g_ref, dout_ref, *,
+                            nhead: int, drop_rate: float):
+    # NOTE: `i` (the grid index) is computed by the caller OUTSIDE the pl.when
+    # branch — pl.program_id cannot be called inside the branch closure
     g, t, c3 = pk_ref.shape
     c = c3 // 3
     r = rk = g * t
     hd = c // nhead
     if drop_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0] + i)
     inv_keep = 1.0 / max(1.0 - drop_rate, 1e-6)
     p_all = pk_ref[:].reshape(r, c3)
     q = p_all[:, :c]
     k = p_all[:, c:2 * c]
     v = p_all[:, 2 * c:]
     gout = g_ref[:].reshape(r, c)
-    i = pl.program_id(0)
     bias = bias_ref[pl.ds(i, 1), :].astype(jnp.float32)
     if g > 1:
         same_win = (jax.lax.broadcasted_iota(jnp.int32, (r, rk), 0) // t ==
@@ -411,66 +479,79 @@ def _kernel_packed_bwd(seed_ref, pk_ref, bias_ref, g_ref, dout_ref, *,
     dout_ref[:] = dpk.reshape(g, t, c3).astype(dout_ref.dtype)
 
 
-def _train_call(kernel_body, packed, bias, seed, nhead, drop_rate, extra=None,
-                interpret=False):
+def _train_call(kernel_body, packed, bias, seed, nw, nhead, drop_rate,
+                extra=None, interpret=False):
     n, t, c3 = packed.shape
     c = c3 // 3
     g = _train_group(t, c, packed.dtype.itemsize)
     assert n % g == 0, (n, g)
     bias_rows = bias.reshape(n // g, g * t)
+    if nw is None:
+        nw_arr = jnp.full((1,), n, jnp.int32)
+        wps = n
+    else:
+        nw_arr = jnp.asarray(nw, jnp.int32)
+        assert n % nw_arr.shape[0] == 0, (n, nw_arr.shape)
+        wps = n // nw_arr.shape[0]
     grid = (n // g,)
     pk_spec = pl.BlockSpec((g, t, c3), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     g_spec = pl.BlockSpec((g, t, c), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     if extra is None:    # forward
         return pl.pallas_call(
-            functools.partial(kernel_body, nhead=nhead, drop_rate=drop_rate),
+            functools.partial(kernel_body, nhead=nhead, drop_rate=drop_rate,
+                              wps=wps),
             grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), pk_spec,
+            in_specs=[smem, smem, pk_spec,
                       pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=g_spec,
             out_shape=jax.ShapeDtypeStruct((n, t, c), packed.dtype),
             interpret=interpret,
-        )(seed_arr, packed, bias_rows)
+        )(seed_arr, nw_arr, packed, bias_rows)
     return pl.pallas_call(                                     # backward
-        functools.partial(kernel_body, nhead=nhead, drop_rate=drop_rate),
+        functools.partial(kernel_body, nhead=nhead, drop_rate=drop_rate,
+                          wps=wps),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), pk_spec,
+        in_specs=[smem, smem, pk_spec,
                   pl.BlockSpec(memory_space=pltpu.VMEM), g_spec],
         out_specs=pk_spec,
         out_shape=jax.ShapeDtypeStruct((n, t, c3), packed.dtype),
         interpret=interpret,
-    )(seed_arr, packed, bias_rows, extra)
+    )(seed_arr, nw_arr, packed, bias_rows, extra)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def window_attention_packed_train(packed, bias, seed, nhead: int,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def window_attention_packed_train(packed, bias, seed, nw, nhead: int,
                                   drop_rate: float, interpret: bool = False):
     """Differentiable fused window attention for TRAINING (verdict item 4:
     training previously fell back to the HBM-materialized einsum,
     swformer.py:108). packed [N,T,3C] = q|k|v on lanes; bias [N,T]; seed int32
-    scalar array driving in-kernel attention dropout (cosine_msa.py:174).
+    scalar array driving in-kernel attention dropout (cosine_msa.py:174);
+    nw optional int32 [B] true window counts (empty-block skipping).
     Flash-style: neither forward nor backward ever materializes [N,H,T,T]
     logits in HBM; backward recomputes attn per head inside VMEM."""
-    return _train_call(_kernel_packed_train, packed, bias, seed, nhead,
+    return _train_call(_kernel_packed_train, packed, bias, seed, nw, nhead,
                        drop_rate, interpret=interpret)
 
 
-def _wapt_fwd(packed, bias, seed, nhead, drop_rate, interpret=False):
-    out = _train_call(_kernel_packed_train, packed, bias, seed, nhead,
+def _wapt_fwd(packed, bias, seed, nw, nhead, drop_rate, interpret=False):
+    out = _train_call(_kernel_packed_train, packed, bias, seed, nw, nhead,
                       drop_rate, interpret=interpret)
-    return out, (packed, bias, seed)
+    return out, (packed, bias, seed, nw)
 
 
 def _wapt_bwd(nhead, drop_rate, interpret, res, gout):
-    packed, bias, seed = res
-    dpacked = _train_call(_kernel_packed_bwd, packed, bias, seed, nhead,
+    packed, bias, seed, nw = res
+    dpacked = _train_call(_kernel_packed_bwd, packed, bias, seed, nw, nhead,
                           drop_rate, extra=gout, interpret=interpret)
     zb = jnp.zeros_like(bias)
     zs = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
-    return dpacked, zb, zs
+    znw = (None if nw is None
+           else np.zeros(np.shape(nw), dtype=jax.dtypes.float0))
+    return dpacked, zb, zs, znw
 
 
 window_attention_packed_train.defvjp(_wapt_fwd, _wapt_bwd)

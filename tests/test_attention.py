@@ -112,7 +112,7 @@ def test_train_kernel_forward_and_grad_match_oracle():
         seed = jnp.zeros((1,), jnp.int32)
 
         def loss_k(p):
-            o = window_attention_packed_train(p, bias, seed, 8, 0.0, True)
+            o = window_attention_packed_train(p, bias, seed, None, 8, 0.0, True)
             return jnp.sum(o * w)
 
         def loss_o(p):
@@ -145,22 +145,23 @@ def test_train_kernel_dropout_tpu():
     s0 = jnp.asarray([123], jnp.int32)
     s1 = jnp.asarray([456], jnp.int32)
 
-    a = np.asarray(window_attention_packed_train(packed, bias, s0, nh, 0.1))
-    b = np.asarray(window_attention_packed_train(packed, bias, s0, nh, 0.1))
-    d = np.asarray(window_attention_packed_train(packed, bias, s1, nh, 0.1))
+    a = np.asarray(window_attention_packed_train(packed, bias, s0, None, nh, 0.1))
+    b = np.asarray(window_attention_packed_train(packed, bias, s0, None, nh, 0.1))
+    d = np.asarray(window_attention_packed_train(packed, bias, s1, None, nh, 0.1))
     np.testing.assert_array_equal(a, b)
     assert np.abs(a - d).max() > 1e-4
 
     # unbiased: mean over many seeds approaches the no-dropout output
     outs = [np.asarray(window_attention_packed_train(
-        packed, bias, jnp.asarray([s], jnp.int32), nh, 0.5)) for s in range(24)]
-    nodrop = np.asarray(window_attention_packed_train(packed, bias, s0, nh, 0.0))
+        packed, bias, jnp.asarray([s], jnp.int32), None, nh, 0.5))
+        for s in range(24)]
+    nodrop = np.asarray(window_attention_packed_train(packed, bias, s0, None, nh, 0.0))
     err = np.abs(np.mean(outs, 0) - nodrop).mean() / (np.abs(nodrop).mean() + 1e-9)
     assert err < 0.25, err
 
     # custom-VJP consistency: <grad, dir> == (f(x+eps d) - f(x-eps d)) / 2eps
     w = jnp.asarray(rng.randn(n, t, c), jnp.float32)
-    f = lambda p: jnp.sum(window_attention_packed_train(p, bias, s0, nh, 0.1) * w)
+    f = lambda p: jnp.sum(window_attention_packed_train(p, bias, s0, None, nh, 0.1) * w)
     gk = jax.grad(f)(packed)
     dvec = jnp.asarray(rng.randn(*packed.shape), jnp.float32)
     eps = 1e-3
@@ -188,7 +189,7 @@ def test_train_kernel_chunked_rows_match_oracle(monkeypatch):
     assert max(r // 4, 8) < r  # the forced chunk actually splits rows
 
     def loss_k(p):
-        o = A.window_attention_packed_train(p, bias, seed, nh, 0.0, True)
+        o = A.window_attention_packed_train(p, bias, seed, None, nh, 0.0, True)
         return jnp.sum(o * w)
 
     def loss_o(p):
@@ -201,3 +202,54 @@ def test_train_kernel_chunked_rows_match_oracle(monkeypatch):
     np.testing.assert_allclose(float(fk), float(fo), rtol=2e-5)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(go),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_empty_window_skipping_matches_full_compute():
+    """Blocks past the true per-sample window count write zeros without
+    computing; since padded windows hold all-zero v rows, the no-skip kernel
+    output is identical. Windows >= nw get fully-padded bias/content here,
+    mirroring the packed layout the window partition produces."""
+    from openseg3d_tpu.ops.attention import (fused_window_attention_packed,
+                                             window_attention_packed_train)
+    rng = np.random.RandomState(3)
+    b, wps, t, c, nh = 2, 64, 16, 64, 8          # wps = 2 groups of 32
+    n = b * wps
+    nw = jnp.asarray([3, 40], jnp.int32)         # true counts per sample
+    packed = rng.randn(n, t, 3 * c).astype(np.float32)
+    bias = np.zeros((n, t), np.float32)
+    for s in range(b):
+        for wi in range(wps):
+            if wi >= int(nw[s]):                 # padding windows: no tokens
+                packed[s * wps + wi] = 0.0
+                bias[s * wps + wi] = -1e9
+    packed = jnp.asarray(packed)
+    bias = jnp.asarray(bias)
+
+    full = fused_window_attention_packed(packed, bias, nhead=nh,
+                                         interpret=True)
+    skip = fused_window_attention_packed(packed, bias, nhead=nh,
+                                         interpret=True, nw=nw)
+    np.testing.assert_allclose(np.asarray(skip), np.asarray(full),
+                               atol=1e-5)
+
+    seed = jnp.asarray([7], jnp.int32)
+    tfull = window_attention_packed_train(packed, bias, seed, None, nh, 0.0,
+                                          True)
+    tskip = window_attention_packed_train(packed, bias, seed, nw, nh, 0.0,
+                                          True)
+    np.testing.assert_allclose(np.asarray(tskip), np.asarray(tfull),
+                               atol=1e-5)
+
+    # gradients skip the same blocks. The cotangent of padded window slots is
+    # zero in the model (window_to_flat only gathers valid slots), which is
+    # exactly what makes skipping lossless — mirror that here.
+    mask = np.zeros((n, 1, 1), np.float32)
+    for s in range(b):
+        mask[s * wps:s * wps + int(nw[s])] = 1.0
+    w = jnp.asarray(rng.randn(n, t, c).astype(np.float32) * mask)
+    gfull = jax.grad(lambda p: jnp.sum(window_attention_packed_train(
+        p, bias, seed, None, nh, 0.0, True) * w))(packed)
+    gskip = jax.grad(lambda p: jnp.sum(window_attention_packed_train(
+        p, bias, seed, nw, nh, 0.0, True) * w))(packed)
+    np.testing.assert_allclose(np.asarray(gskip), np.asarray(gfull),
+                               atol=1e-5)

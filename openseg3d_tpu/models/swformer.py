@@ -253,16 +253,24 @@ class SWFormerBlock(nn.Module):
 
         # per shift: flat positional embedding; per level: additive key bias
         # (0 valid / -1e9 padded) — computed ONCE per block and broadcast into
-        # the layer scan (layer-invariant)
+        # the layer scan (layer-invariant). All levels' biases come from ONE
+        # combined-buffer scatter per shift (scatters cost per row; the
+        # previous per-level window_mask form paid 4 [V]-row scatters)
+        b = feat.shape[0]
+        offs = level_offsets(self.levels)
         windowed = []
         for s in (0, 1):
             pos = positional_embedding(part.shifts[s].coors_in_win,
                                        self.window_shape, self.d_model).astype(feat.dtype)
-            biases = tuple(
-                jnp.where(window_mask(part.shifts[s].scatter_idx[li], spec),
-                          0.0, -1e9).astype(jnp.float32)
-                for li, spec in enumerate(self.levels))
             comb = combined_scatter_index(part.shifts[s], self.levels)
+            tgt = jnp.where(comb >= 0, comb, offs[-1])
+            big = jnp.full((b, offs[-1]), -1e9, jnp.float32)
+            big = jax.vmap(lambda o, t: o.at[t].set(
+                0.0, mode='drop', unique_indices=True))(big, tgt)
+            biases = tuple(
+                big[:, offs[li]:offs[li + 1]].reshape(
+                    b, spec.num_windows, spec.max_tokens)
+                for li, spec in enumerate(self.levels))
             windowed.append((pos, biases, comb))
 
         hidden = int(self.d_model * self.mlp_ratio)

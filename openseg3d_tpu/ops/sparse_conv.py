@@ -599,6 +599,32 @@ def planar_from_k3(rulebook: Rulebook) -> PlanarRulebook:
     return PlanarRulebook(base=base, wsel=jnp.stack(sels, axis=-1))
 
 
+def _center_plane_neighbors(x, sel_p):
+    """The (dz=0, dy=0) plane needs NO window gather: keys are consecutive
+    integers in sorted order, so the dx=-1/+1 neighbors — when present — sit
+    at rows o-1/o+1 exactly. Two row-shifts replace a [V]-slice gather (1/9 of
+    the planar conv's gather cost); presence/boundary info is already encoded
+    in wsel (2 = absent)."""
+    b, v, cin = x.shape
+    pm = jnp.any(sel_p == -1, axis=-1)[..., None]
+    p0 = jnp.any(sel_p == 0, axis=-1)[..., None]
+    pp = jnp.any(sel_p == 1, axis=-1)[..., None]
+    z = jnp.zeros((b, 1, cin), x.dtype)
+    xm = jnp.where(pm, jnp.concatenate([z, x[:, :-1]], axis=1), 0)
+    x0 = jnp.where(p0, x, 0)
+    xp = jnp.where(pp, jnp.concatenate([x[:, 1:], z], axis=1), 0)
+    return jnp.stack([xm, x0, xp], axis=2)                   # [B, V, 3dx, Cin]
+
+
+_CENTER_PLANE = 4        # planes are (dz, dy) raster order; index 4 = (0, 0)
+
+
+def _plane_neighbors(x, base_p, sel_p, plane: int):
+    if plane == _CENTER_PLANE:
+        return _center_plane_neighbors(x, sel_p)
+    return _planar_neighbors(x, base_p, sel_p)
+
+
 def _planar_neighbors(x, base_p, sel_p):
     """One plane's [B, V, 3dx, Cin] neighbor tensor: window gather + masked
     distribution of window rows onto their dx slots."""
@@ -627,7 +653,7 @@ def _planar_apply(x, w9, base, wsel, out_mask, out_dtype):
     cout = w9.shape[-1]
     acc = jnp.zeros((b, v, cout), dtype=jnp.float32)
     for p in range(9):
-        nb = _planar_neighbors(x, base[:, p], wsel[:, p])
+        nb = _plane_neighbors(x, base[:, p], wsel[:, p], p)
         acc = acc + jax.lax.dot_general(
             nb.reshape(b, v, 3 * cin), w9[p].reshape(3 * cin, cout),
             dimension_numbers=(((2,), (0,)), ((), ())),
@@ -685,7 +711,7 @@ def _planar_conv_bwd(compute_dtype, res, dout):
     acc_dx = jnp.zeros((b, v, cin), jnp.float32)
     dws = []
     for p in range(9):
-        nb = _planar_neighbors(xg, base[:, p], wsel[:, p])   # [B,V,3,Cin+Cout]
+        nb = _plane_neighbors(xg, base[:, p], wsel[:, p], p)  # [B,V,3,Cin+Cout]
         nb_x = nb[..., :cin]
         nb_g = nb[..., cin:]
         acc_dx = acc_dx + jax.lax.dot_general(

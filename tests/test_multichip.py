@@ -25,7 +25,9 @@ def _run_cpu8(code: str, timeout: int = 2400):
     env['JAX_PLATFORMS'] = 'cpu'
     env['PALLAS_AXON_POOL_IPS'] = ''
     env['PALLAS_AXON_REMOTE_COMPILE'] = ''
-    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=8'
+    env['XLA_FLAGS'] = ('--xla_force_host_platform_device_count=8 '
+                        '--xla_cpu_collective_call_warn_stuck_timeout_seconds=300 '
+                        '--xla_cpu_collective_call_terminate_timeout_seconds=1200')
     env['JAX_COMPILATION_CACHE_DIR'] = '/tmp/jax_cpu8_cache'
     return subprocess.run([sys.executable, '-c', code], env=env, cwd=REPO,
                           capture_output=True, text=True, timeout=timeout)

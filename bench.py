@@ -80,6 +80,9 @@ def main():
     ap.add_argument('--mode', choices=['infer', 'train'], default='infer')
     ap.add_argument('--segmentor', default='segformer')
     ap.add_argument('--max_voxels', type=int, default=98304)
+    ap.add_argument('--stage_ratios', type=str, default='',
+                    help='comma-separated RUNTIME.STAGE_CAPACITY_RATIOS '
+                         'override, for capacity-cost bisection')
     args = ap.parse_args()
 
     os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_bench_cache')
@@ -97,10 +100,14 @@ def main():
                                       make_train_step)
     from openseg3d_tpu.models.optim import build_optimizer, build_schedule
 
+    runtime_over = {'MAX_POINTS_PER_SAMPLE': args.n_points,
+                    'MAX_VOXELS_PER_SAMPLE': args.max_voxels}
+    if args.stage_ratios:
+        runtime_over['STAGE_CAPACITY_RATIOS'] = [
+            float(x) for x in args.stage_ratios.split(',')]
     cfg = cfg_from_file('configs/waymo_one_sweep.yaml', overrides={
         'MODEL': {'SEGMENTOR': args.segmentor},
-        'RUNTIME': {'MAX_POINTS_PER_SAMPLE': args.n_points,
-                    'MAX_VOXELS_PER_SAMPLE': args.max_voxels},
+        'RUNTIME': runtime_over,
     })
 
     rng = np.random.RandomState(0)

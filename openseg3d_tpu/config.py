@@ -168,22 +168,29 @@ def default_config() -> ConfigDict:
     # Max occupied voxels per frame at full resolution (~65-90k typical at 0.1m).
     c.RUNTIME.MAX_VOXELS_PER_SAMPLE = 114688
     # Voxel capacity of backbone stages 1..4 as fractions of MAX_VOXELS_PER_SAMPLE.
-    # Stride-2 downsampling of surface-like LiDAR data shrinks occupancy by
-    # roughly 3-4x per stage; 1/2 per stage is a safe envelope.
-    c.RUNTIME.STAGE_CAPACITY_RATIOS = [1.0, 0.5, 0.25, 0.125]
+    # IMPORTANT: the stride-2 SparseConv3d output set is the spconv-semantics
+    # DILATED set (every site whose 3^3 receptive field touches an input), so
+    # stage 2 is LARGER than stage 1 on surface-like LiDAR: measured on
+    # Waymo-like frames (~66-80k stage-1 voxels) the true per-stage counts
+    # peak at [0.81, 1.14, 0.55, 0.20] of MAX_VOXELS — these ratios add
+    # ~25% margin. Undersizing a stage drops the largest-key (far +y) voxels,
+    # which is spatially biased; don't.
+    c.RUNTIME.STAGE_CAPACITY_RATIOS = [1.0, 1.45, 0.7, 0.25]
     # Per-stage, per-level token capacity of each window-attention bucket, as a
     # fraction of the stage voxel capacity (window capacity W_l =
     # frac*V_stage/T_l). Overflow windows/voxels are dropped, mirroring the
     # reference keep_mask policy (point_transformer_layer.py:86). Values are
-    # sized from measured per-level occupancy on Waymo-like frames (~1.4x
-    # margin over observed window counts); the top bucket (256..800 tokens) is
+    # sized from measured per-level WINDOW counts on Waymo-like frames at the
+    # dilated stage capacities above (~1.25x margin over the observed max;
+    # window count x max_tokens is the binding constraint for small-T levels,
+    # whose windows run far under full). The top bucket (>=256..800 tokens) is
     # empty on outdoor LiDAR at every stage, so it gets a small safety
     # allocation instead of a worst-case one.
     c.RUNTIME.WINDOW_BUCKET_FRACTIONS = [
-        [0.80, 1.05, 1.00, 0.15],
-        [0.40, 1.30, 1.70, 0.20],
-        [0.85, 0.75, 1.00, 0.20],
-        [1.50, 0.85, 0.30, 0.20],
+        [0.95, 0.82, 0.85, 0.06],
+        [0.30, 1.12, 0.97, 0.06],
+        [0.70, 0.73, 0.87, 0.08],
+        [1.29, 0.72, 0.12, 0.08],
     ]
     # Compute dtype for matmul-heavy paths ('float32' or 'bfloat16').
     c.RUNTIME.COMPUTE_DTYPE = 'bfloat16'

@@ -19,8 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.sparse_conv import (SparseTensor, Rulebook, DownsamplePlan,
-                                build_subm_rulebook, build_downsample,
-                                planar_from_k3)
+                                build_downsample, build_planar_k3_direct)
 from ..sparse_modules import ConvModule, SparseBasicBlock, UpBlock
 from ..ocr import OCRLayer
 
@@ -48,16 +47,16 @@ def build_unet_plans(st: SparseTensor, capacities) -> UNetPlans:
 
     Stage coords are in ascending linearized-key order BY PIPELINE INVARIANT
     (the voxelizer emits sorted slots; downsample outputs are sorted by
-    construction), so every stage's subm rulebook converts to the planar
-    fast-path structure (ops/sparse_conv.planar_from_k3) for free."""
+    construction), so every stage's planar fast-path structure is built
+    directly (ops/sparse_conv.build_planar_k3_direct) without materializing
+    the 27-row rulebook."""
     masks, coords, subm, downs, shapes = [], [], [], [], []
     cur = st
     for s in range(4):
         masks.append(cur.mask)
         coords.append(cur.coords)
         shapes.append(cur.spatial_shape)
-        subm.append(planar_from_k3(build_subm_rulebook(cur, 3,
-                                                       assume_sorted=True)))
+        subm.append(build_planar_k3_direct(cur))
         if s < 3:
             plan = build_downsample(cur, out_capacity=capacities[s + 1],
                                     kernel_size=3, stride=2, padding=1)

@@ -71,6 +71,20 @@ def _query_chunk(t: int, c: int, itemsize: int) -> int:
     return best
 
 
+def _window_chunk(g: int, t: int, target_rows: int = 128) -> int:
+    """Windows per in-kernel compute chunk. Attention is fully window-local,
+    so keys can be restricted to the chunk's own rows: logits shrink from the
+    block's [G*T, G*T] (only block-diagonal [T, T] tiles meaningful) to
+    [CH*T, CH*T] — at G=16/T=64 that is 8x less MXU work and 8x less softmax
+    VPU work (the measured bottleneck of the grouped kernel). ~128 rows keeps
+    the matmuls MXU-shaped."""
+    ch = max(1, target_rows // t)
+    ch = min(ch, g)
+    while g % ch:
+        ch -= 1
+    return ch
+
+
 def _kernel_packed(nw_ref, q_ref, kv_ref, bias_ref, out_ref, *, nhead: int,
                    wps: int, stride: int):
     """Packed variant: q_ref/kv_ref are (possibly row-chunked / whole-window)
@@ -79,55 +93,89 @@ def _kernel_packed(nw_ref, q_ref, kv_ref, bias_ref, out_ref, *, nhead: int,
 
     nw_ref (SMEM, [B]) is the true window count per sample and level: window
     ranks are densely packed from 0 (ops/window._shift_partition cumsum), so a
-    grid block whose first window rank >= nw is entirely padding — its v rows
+    chunk whose first window rank >= nw is entirely padding — its v rows
     are all zero and its output would be exactly zero. Skip the matmuls and
     just write zeros (capacity-padded levels typically run 2-4x more blocks
-    than real windows)."""
+    than real windows); skipping is per CHUNK, so partially-real blocks only
+    compute their live prefix."""
     gq, tq, c3 = q_ref.shape
-    _, t, _ = kv_ref.shape
+    gk, t, _ = kv_ref.shape
     c = c3 // 3
     i = pl.program_id(0)
     # stride = windows per grid step along dim 0 (g for the grouped path, 1
     # for the query-chunked path whose grid is (n, t//qc))
     win_rank = (i * stride) % wps             # first window of this block
     sample = (i * stride) // wps
+    hd = c // nhead
+    dn_qk = (((1,), (1,)), ((), ()))
+    dn_av = (((1,), (0,)), ((), ()))
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) // hd
+    prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
 
-    @pl.when(win_rank >= nw_ref[sample])
-    def _zero():
-        out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    if gq != gk or tq != t:
+        # single-window query-row-chunked path (big-T levels): queries attend
+        # the whole window's keys
+        @pl.when(win_rank >= nw_ref[sample])
+        def _zero():
+            out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    @pl.when(win_rank < nw_ref[sample])
-    def _compute():
-        r, rk = gq * tq, kv_ref.shape[0] * t
-        hd = c // nhead
-        p_q = q_ref[:].reshape(r, c3)
-        p_kv = kv_ref[:].reshape(rk, c3)
-        q = p_q[:, :c]
-        k = p_kv[:, c:2 * c]
-        v = p_kv[:, 2 * c:]
-        bias = bias_ref[pl.ds(i, 1), :].astype(jnp.float32)
-        if kv_ref.shape[0] > 1:
-            same_win = (jax.lax.broadcasted_iota(jnp.int32, (r, rk), 0) // t ==
-                        jax.lax.broadcasted_iota(jnp.int32, (r, rk), 1) // t)
-            bias = jnp.where(same_win, bias, -1e9)
-
-        dn_qk = (((1,), (1,)), ((), ()))
-        dn_av = (((1,), (0,)), ((), ()))
-        lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) // hd
-        prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
-                else jax.lax.Precision.DEFAULT)
-        out = jnp.zeros((r, c), jnp.float32)
-        for h in range(nhead):
-            mask = (lane_head == h).astype(q.dtype)
-            logits = jax.lax.dot_general(q * mask, k, dn_qk, precision=prec,
+        @pl.when(win_rank < nw_ref[sample])
+        def _compute():
+            r, rk = gq * tq, gk * t
+            q = q_ref[:].reshape(r, c3)[:, :c]
+            p_kv = kv_ref[:].reshape(rk, c3)
+            k = p_kv[:, c:2 * c]
+            v = p_kv[:, 2 * c:]
+            bias = bias_ref[pl.ds(i, 1), :].astype(jnp.float32)
+            out = jnp.zeros((r, c), jnp.float32)
+            for h in range(nhead):
+                mask = (lane_head == h).astype(q.dtype)
+                logits = jax.lax.dot_general(q * mask, k, dn_qk, precision=prec,
+                                             preferred_element_type=jnp.float32)
+                attn = jax.nn.softmax(logits + bias, axis=-1)
+                oh = jax.lax.dot_general(attn.astype(v.dtype), v, dn_av,
+                                         precision=prec,
                                          preferred_element_type=jnp.float32)
-            logits = logits + bias
-            attn = jax.nn.softmax(logits, axis=-1)
-            oh = jax.lax.dot_general(attn.astype(v.dtype), v, dn_av,
-                                     precision=prec,
-                                     preferred_element_type=jnp.float32)
-            out = out + oh * mask.astype(jnp.float32)
-        out_ref[:] = out.reshape(gq, tq, c).astype(out_ref.dtype)
+                out = out + oh * mask.astype(jnp.float32)
+            out_ref[:] = out.reshape(gq, tq, c).astype(out_ref.dtype)
+        return
+
+    ch = _window_chunk(gq, t)
+    rch = ch * t
+    n_chunks = gq // ch
+
+    for s in range(n_chunks):
+        @pl.when(win_rank + s * ch >= nw_ref[sample])
+        def _zero(s=s):
+            out_ref[s * ch:(s + 1) * ch] = jnp.zeros((ch, tq, c), out_ref.dtype)
+
+        @pl.when(win_rank + s * ch < nw_ref[sample])
+        def _compute(s=s):
+            p = q_ref[s * ch:(s + 1) * ch].reshape(rch, c3)
+            q = p[:, :c]
+            k = p[:, c:2 * c]
+            v = p[:, 2 * c:]
+            # bias_rows is reshaped one row PER CHUNK by the caller: the slice
+            # sits at lane offset 0 (a chunk-local lane slice of a block-wide
+            # row keeps its offset in the layout, and Mosaic then cannot
+            # broadcast the [1, rch] vector against [rch, rch] logits)
+            bias = bias_ref[pl.ds(i * n_chunks + s, 1), :].astype(jnp.float32)
+            if ch > 1:
+                same_win = (jax.lax.broadcasted_iota(jnp.int32, (rch, rch), 0) // t ==
+                            jax.lax.broadcasted_iota(jnp.int32, (rch, rch), 1) // t)
+                bias = jnp.where(same_win, bias, -1e9)
+            out = jnp.zeros((rch, c), jnp.float32)
+            for h in range(nhead):
+                mask = (lane_head == h).astype(q.dtype)
+                logits = jax.lax.dot_general(q * mask, k, dn_qk, precision=prec,
+                                             preferred_element_type=jnp.float32)
+                attn = jax.nn.softmax(logits + bias, axis=-1)
+                oh = jax.lax.dot_general(attn.astype(v.dtype), v, dn_av,
+                                         precision=prec,
+                                         preferred_element_type=jnp.float32)
+                out = out + oh * mask.astype(jnp.float32)
+            out_ref[s * ch:(s + 1) * ch] = out.reshape(ch, tq, c).astype(out_ref.dtype)
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, nhead: int):
@@ -236,7 +284,10 @@ def fused_window_attention_packed(packed, bias, nhead: int,
     g = attention_group(t, 2 * c, packed.dtype.itemsize)
     assert n % g == 0, (n, g)
     assert t % 16 == 0, f'window max_tokens must be a multiple of 16, got {t}'
-    bias_rows = bias.reshape(n // g, g * t)
+    # one bias row per compute CHUNK (not per block): every kernel bias slice
+    # is then a dynamic whole-row at lane offset 0, which Mosaic can broadcast
+    bias_rows = bias.reshape(n // _window_chunk(g, t),
+                             _window_chunk(g, t) * t)
     if nw is None:
         nw_arr = jnp.full((1,), n, jnp.int32)     # no skipping
         wps = n
@@ -315,19 +366,73 @@ def _row_chunk(r: int, rk: int, c3: int, itemsize: int) -> int:
 def _kernel_packed_train(seed_ref, nw_ref, pk_ref, bias_ref, out_ref, *,
                          nhead: int, drop_rate: float, wps: int):
     """Forward train kernel: eval kernel + attention dropout after softmax
-    (cosine_msa.py:174 F.dropout on attn weights). Seeded per grid step.
-    Unlike the eval kernel, q and k/v share ONE packed operand block, halving
-    the streamed VMEM blocks. Query rows are processed in static chunks
-    (chunk-outer, head-inner) — required for VMEM at T=800, and the SAME
-    chunk/head loop order as the backward so both consume the dropout PRNG
-    stream identically. Blocks whose windows are all past the true per-sample
-    window count nw_ref skip compute and write zeros (identical in both fwd
-    and bwd — per-grid-step seeding keeps surviving blocks' streams intact)."""
+    (cosine_msa.py:174 F.dropout on attn weights). Unlike the eval kernel,
+    q and k/v share ONE packed operand block, halving the streamed VMEM
+    blocks.
+
+    Two chunking modes, mirrored EXACTLY by the backward so both consume the
+    dropout PRNG stream identically (per-chunk seeding seed + i*n_chunks + s
+    makes the streams independent of which chunks are skipped):
+      * g > 1: window-local chunks — keys restricted to the chunk's own
+        windows (see _window_chunk), per-chunk padding skip;
+      * g == 1 (big-T levels): query-row chunks against the whole window's
+        keys — required for VMEM at T=800."""
     g, t, c3 = pk_ref.shape
     c = c3 // 3
     i = pl.program_id(0)
     win_rank = (i * g) % wps
     sample = (i * g) // wps
+    hd = c // nhead
+    inv_keep = 1.0 / max(1.0 - drop_rate, 1e-6)
+    dn_qk = (((1,), (1,)), ((), ()))
+    dn_av = (((1,), (0,)), ((), ()))
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) // hd
+    prec = (jax.lax.Precision.HIGHEST if pk_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    if g > 1:
+        ch = _window_chunk(g, t)
+        rch = ch * t
+        n_chunks = g // ch
+
+        for s in range(n_chunks):
+            @pl.when(win_rank + s * ch >= nw_ref[sample])
+            def _zero(s=s):
+                out_ref[s * ch:(s + 1) * ch] = jnp.zeros((ch, t, c),
+                                                         out_ref.dtype)
+
+            @pl.when(win_rank + s * ch < nw_ref[sample])
+            def _compute(s=s):
+                if drop_rate > 0.0:
+                    pltpu.prng_seed(seed_ref[0] + i * n_chunks + s)
+                p = pk_ref[s * ch:(s + 1) * ch].reshape(rch, c3)
+                q = p[:, :c]
+                k = p[:, c:2 * c]
+                v = p[:, 2 * c:]
+                # one bias row per chunk (lane offset 0 — see _kernel_packed)
+                bias = bias_ref[pl.ds(i * n_chunks + s, 1),
+                                :].astype(jnp.float32)
+                if ch > 1:
+                    same_win = (jax.lax.broadcasted_iota(jnp.int32, (rch, rch), 0) // t ==
+                                jax.lax.broadcasted_iota(jnp.int32, (rch, rch), 1) // t)
+                    bias = jnp.where(same_win, bias, -1e9)
+                out = jnp.zeros((rch, c), jnp.float32)
+                for h in range(nhead):
+                    mask = (lane_head == h).astype(q.dtype)
+                    logits = jax.lax.dot_general(q * mask, k, dn_qk,
+                                                 precision=prec,
+                                                 preferred_element_type=jnp.float32)
+                    attn = jax.nn.softmax(logits + bias, axis=-1)
+                    if drop_rate > 0.0:
+                        attn = attn * (_dropout_mask((rch, rch), drop_rate)
+                                       * inv_keep)
+                    oh = jax.lax.dot_general(attn.astype(v.dtype), v, dn_av,
+                                             precision=prec,
+                                             preferred_element_type=jnp.float32)
+                    out = out + oh * mask.astype(jnp.float32)
+                out_ref[s * ch:(s + 1) * ch] = out.reshape(ch, t, c).astype(
+                    out_ref.dtype)
+        return
 
     @pl.when(win_rank >= nw_ref[sample])
     def _zero():
@@ -336,37 +441,24 @@ def _kernel_packed_train(seed_ref, nw_ref, pk_ref, bias_ref, out_ref, *,
     @pl.when(win_rank < nw_ref[sample])
     def _compute():
         r = rk = g * t
-        hd = c // nhead
         if drop_rate > 0.0:
             pltpu.prng_seed(seed_ref[0] + i)
-        inv_keep = 1.0 / max(1.0 - drop_rate, 1e-6)
         p_all = pk_ref[:].reshape(r, c3)
         q = p_all[:, :c]
         k = p_all[:, c:2 * c]
         v = p_all[:, 2 * c:]
         bias = bias_ref[pl.ds(i, 1), :].astype(jnp.float32)
-        if g > 1:
-            same_win = (jax.lax.broadcasted_iota(jnp.int32, (r, rk), 0) // t ==
-                        jax.lax.broadcasted_iota(jnp.int32, (r, rk), 1) // t)
-            bias = jnp.where(same_win, bias, -1e9)
-
-        dn_qk = (((1,), (1,)), ((), ()))
-        dn_av = (((1,), (0,)), ((), ()))
-        lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) // hd
-        prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
-                else jax.lax.Precision.DEFAULT)
         qc = _row_chunk(r, rk, c3, jnp.dtype(pk_ref.dtype).itemsize)
         out_rows = []
         for s in range(0, r, qc):
             qs = q[s:s + qc]
-            bias_s = bias if bias.shape[0] == 1 else bias[s:s + qc]
             out_s = jnp.zeros((qc, c), jnp.float32)
             for h in range(nhead):
                 mask = (lane_head == h).astype(q.dtype)
                 logits = jax.lax.dot_general(qs * mask, k, dn_qk,
                                              precision=prec,
                                              preferred_element_type=jnp.float32)
-                attn = jax.nn.softmax(logits + bias_s, axis=-1)
+                attn = jax.nn.softmax(logits + bias, axis=-1)
                 if drop_rate > 0.0:
                     attn = attn * (_dropout_mask((qc, rk), drop_rate) * inv_keep)
                 oh = jax.lax.dot_general(attn.astype(v.dtype), v, dn_av,
@@ -384,13 +476,88 @@ def _kernel_packed_bwd(seed_ref, nw_ref, pk_ref, bias_ref, g_ref, dout_ref, *,
     """Backward: recompute attn per head in VMEM (flash-style — nothing but
     q/k/v/g ever touches HBM), regenerate the dropout mask from the same
     seed/stream, and emit dq|dk|dv packed on the lane axis. Skips the same
-    all-padding blocks as the forward (their dq/dk/dv are exactly zero: the
-    cotangent rows entering padded windows are zero)."""
+    all-padding chunks as the forward (their dq/dk/dv are exactly zero: the
+    cotangent rows entering padded windows are zero). Chunking mirrors
+    _kernel_packed_train exactly: window-local chunks for g > 1 (keys are
+    chunk-local, so dk/dv need no cross-chunk accumulation), query-row
+    chunks against full keys for g == 1."""
     gw, t, c3 = pk_ref.shape
     c = c3 // 3
     i = pl.program_id(0)
     win_rank = (i * gw) % wps
     sample = (i * gw) // wps
+
+    if gw > 1:
+        ch = _window_chunk(gw, t)
+        rch = ch * t
+        n_chunks = gw // ch
+        hd = c // nhead
+        inv_keep = 1.0 / max(1.0 - drop_rate, 1e-6)
+        dn_qk = (((1,), (1,)), ((), ()))
+        dn_av = (((1,), (0,)), ((), ()))
+        dn_t = (((0,), (0,)), ((), ()))
+        lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) // hd
+        prec = (jax.lax.Precision.HIGHEST if pk_ref.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+
+        for s in range(n_chunks):
+            @pl.when(win_rank + s * ch >= nw_ref[sample])
+            def _zero(s=s):
+                dout_ref[s * ch:(s + 1) * ch] = jnp.zeros((ch, t, c3),
+                                                          dout_ref.dtype)
+
+            @pl.when(win_rank + s * ch < nw_ref[sample])
+            def _compute(s=s):
+                if drop_rate > 0.0:
+                    pltpu.prng_seed(seed_ref[0] + i * n_chunks + s)
+                p = pk_ref[s * ch:(s + 1) * ch].reshape(rch, c3)
+                q = p[:, :c]
+                k = p[:, c:2 * c]
+                v = p[:, 2 * c:]
+                gout = g_ref[s * ch:(s + 1) * ch].reshape(rch, c)
+                # one bias row per chunk (lane offset 0 — see _kernel_packed)
+                bias = bias_ref[pl.ds(i * n_chunks + s, 1),
+                                :].astype(jnp.float32)
+                if ch > 1:
+                    same_win = (jax.lax.broadcasted_iota(jnp.int32, (rch, rch), 0) // t ==
+                                jax.lax.broadcasted_iota(jnp.int32, (rch, rch), 1) // t)
+                    bias = jnp.where(same_win, bias, -1e9)
+                dq = jnp.zeros((rch, c), jnp.float32)
+                dk = jnp.zeros((rch, c), jnp.float32)
+                dv = jnp.zeros((rch, c), jnp.float32)
+                for h in range(nhead):
+                    mask = (lane_head == h).astype(q.dtype)
+                    maskf = mask.astype(jnp.float32)
+                    qh = q * mask
+                    gh = (gout * mask.astype(gout.dtype)).astype(v.dtype)
+                    logits = jax.lax.dot_general(
+                        qh, k, dn_qk, precision=prec,
+                        preferred_element_type=jnp.float32)
+                    attn = jax.nn.softmax(logits + bias, axis=-1)
+                    if drop_rate > 0.0:
+                        dmask = _dropout_mask((rch, rch), drop_rate) * inv_keep
+                        attn_d = attn * dmask
+                    else:
+                        attn_d = attn
+                    dv = dv + jax.lax.dot_general(
+                        attn_d.astype(v.dtype), gh, dn_t, precision=prec,
+                        preferred_element_type=jnp.float32)
+                    dp = jax.lax.dot_general(gh, v, dn_qk, precision=prec,
+                                             preferred_element_type=jnp.float32)
+                    if drop_rate > 0.0:
+                        dp = dp * dmask
+                    ds = attn * (dp - jnp.sum(attn * dp, axis=-1, keepdims=True))
+                    ds = ds.astype(k.dtype)
+                    dq = dq + jax.lax.dot_general(
+                        ds, k, dn_av, precision=prec,
+                        preferred_element_type=jnp.float32) * maskf
+                    dk = dk + jax.lax.dot_general(
+                        ds, qh, dn_t, precision=prec,
+                        preferred_element_type=jnp.float32) * maskf
+                dpk = jnp.concatenate([dq, dk, dv], axis=-1)
+                dout_ref[s * ch:(s + 1) * ch] = dpk.reshape(ch, t, c3).astype(
+                    dout_ref.dtype)
+        return
 
     @pl.when(win_rank >= nw_ref[sample])
     def _zero():
@@ -485,7 +652,9 @@ def _train_call(kernel_body, packed, bias, seed, nw, nhead, drop_rate,
     c = c3 // 3
     g = _train_group(t, c, packed.dtype.itemsize)
     assert n % g == 0, (n, g)
-    bias_rows = bias.reshape(n // g, g * t)
+    # one bias row per compute chunk (see fused_window_attention_packed)
+    ch = _window_chunk(g, t)
+    bias_rows = bias.reshape(n // ch, ch * t)
     if nw is None:
         nw_arr = jnp.full((1,), n, jnp.int32)
         wps = n

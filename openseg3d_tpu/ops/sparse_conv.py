@@ -339,8 +339,17 @@ def _downsample_single(coords: jax.Array, spatial_shape, out_shape,
         koff = jnp.repeat(jnp.arange(k3, dtype=jnp.int32), v)
 
     flat_keys = cand_keys.reshape(-1)                      # [n_cand * V]
-    payload = jnp.arange(n_cand * v, dtype=jnp.int32)      # encodes (row, v)
+    # ONE packed payload column (koff<<VB | v): koff rides the sort because
+    # recovering it afterwards would be a [n_cand*V]-row 1-lane gather
+    # (~5.6ms/step at stage-1 caps), and packing it into the voxel payload's
+    # high bits keeps the sort at 2 moved columns instead of 3 (sort cost is
+    # per moved byte; measured 45ms/step across the 3 stage sorts at 3 cols)
+    vbits = max(v - 1, 1).bit_length()
+    assert vbits + 5 <= 31, (v, 'voxel capacity too large for packed payload')
+    vv_flat = jnp.arange(n_cand * v, dtype=jnp.int32) % v
+    payload = (koff << vbits) | vv_flat
     s, sp = jax.lax.sort([flat_keys, payload], num_keys=1)
+    kk = sp >> vbits
 
     is_new = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]]) & (s != INT32_SENTINEL)
     rank = (jnp.cumsum(is_new) - 1).astype(jnp.int32)      # shared by duplicates
@@ -353,9 +362,9 @@ def _downsample_single(coords: jax.Array, spatial_shape, out_shape,
         .at[write].set(s, mode='drop', unique_indices=True)
     out_coords = delinearize(out_keys, out_shape)
 
-    # recover (offset index, voxel) of each sorted candidate
-    kk = koff[sp]
-    vv = sp % v
+    # recover the voxel of each sorted candidate (offset index kk came
+    # through the sort in the payload's high bits)
+    vv = sp & ((1 << vbits) - 1)
 
     # inverse rulebook: inv[k, v] = output slot this (v, k) pair feeds
     inv_tgt = jnp.where(ok, kk * v + vv, k3 * v)           # (k, v) is unique
@@ -445,14 +454,17 @@ def apply_sparse_conv(features: jax.Array, rulebook: Rulebook, weights: jax.Arra
 
     # unrolled over the (typically 3) offset groups: on TPU a lax.scan here
     # costs a while-loop barrier per conv (~190ms of the profile), while the
-    # unrolled form lets XLA overlap the gathers with the GEMMs
+    # unrolled form lets XLA overlap the gathers with the GEMMs.
+    # Missing neighbors read a zero row appended to x instead of paying a
+    # [G*Vo, Cin]-sized select after every gather (~1ms each at stage-2 caps).
+    v_in = x.shape[1]
+    xp = jnp.concatenate([x, jnp.zeros((b, 1, cin), x.dtype)], axis=1)
     acc = jnp.zeros((b, vo, cout), dtype=jnp.float32)
     for gi in range(n_groups):
         idx = idx_groups[gi]                                  # [B,G,Vo]
-        flat = jnp.maximum(idx, 0).reshape(b, g_sz * vo)
-        g = jnp.take_along_axis(x, flat[..., None], axis=1)
+        flat = jnp.where(idx >= 0, idx, v_in).reshape(b, g_sz * vo)
+        g = jnp.take_along_axis(xp, flat[..., None], axis=1)
         g = g.reshape(b, g_sz, vo, cin)
-        g = jnp.where((idx >= 0)[..., None], g, 0)
         # contract over (G, Cin): [B,G,Vo,Cin] x [G,Cin,Cout] -> [B,Vo,Cout]
         acc = acc + jax.lax.dot_general(
             g, w_groups[gi], dimension_numbers=(((1, 3), (0, 1)), ((), ())),
@@ -552,6 +564,143 @@ def build_planar_subm_rulebook(st: SparseTensor) -> PlanarRulebook:
     """st.coords MUST already be in ascending key order per sample (use
     sort_by_key once per stage — downsample outputs are already sorted)."""
     base, wsel = jax.vmap(partial(_planar_subm_single,
+                                  spatial_shape=st.spatial_shape))(st.coords)
+    return PlanarRulebook(base=base, wsel=wsel)
+
+
+def _base_wsel_from_rows(row_m, row_0, row_p, v: int):
+    """(base, wsel) of one plane from the sorted-table rows of its three
+    dx = -1/0/+1 neighbors (INT32_SENTINEL = absent). Present neighbors of a
+    voxel occupy consecutive sorted rows (their keys are consecutive integers;
+    nothing sorts between k and k+1), so the 3-row window starting at the
+    minimum present row covers them all."""
+    bmin = jnp.minimum(jnp.minimum(row_m, row_0), row_p)
+    base = jnp.clip(jnp.where(bmin == INT32_SENTINEL, 0, bmin), 0, max(v - 3, 0))
+    sels = []
+    for w in range(3):
+        row = base + w
+        sel = jnp.full(row.shape, 2, jnp.int8)
+        for e, a in ((-1, row_m), (0, row_0), (1, row_p)):
+            sel = jnp.where((a != INT32_SENTINEL) & (a == row), jnp.int8(e), sel)
+        sels.append(sel)
+    return base, jnp.stack(sels, axis=-1)
+
+
+def _planar_k3_direct_single(coords: jax.Array, spatial_shape):
+    """coords [V,3] in ascending key order -> (base [9,V], wsel [9,V,3]).
+
+    Builds the planar structure DIRECTLY, skipping the 27-row k3 rulebook +
+    planar_from_k3 conversion (the [27V]/[12V] stack/mirror fusions were
+    ~8ms/step of the Waymo-scale profile). Key facts used:
+      * a plane shift (dz, dy, 0) adds the CONSTANT (dz*gy + dy)*gx to the
+        linearized key, so each plane's queries are themselves sorted;
+      * one tagged merge-sort ranks all 4 searched planes' queries at once
+        (as in _subm_rulebook_k3), and hits fall inside the 3-row window
+        [r-2, r] of the sorted table;
+      * mirror planes invert the forward matches: voxel i reading row j at
+        (dz, dy, dx) means j reads i at (-dz, -dy, -dx). For fixed (plane,
+        dx) the match map i -> j is injective (keys are unique), so three
+        [V]-row scatters per plane recover the mirror rows exactly.
+    """
+    gz, gy, gx = spatial_shape
+    v = coords.shape[0]
+    valid = coords[..., 0] >= 0
+    keys = linearize(coords, spatial_shape, valid=valid)      # ascending
+    arange_v = jnp.arange(v, dtype=jnp.int32)
+
+    planes = ((0, 1), (1, -1), (1, 0), (1, 1))                # searched half
+    shifted = jnp.stack([coords + jnp.asarray([dz, dy, 0], jnp.int32)
+                         for dz, dy in planes])               # [4, V, 3]
+    q = linearize(shifted, spatial_shape,
+                  valid=jnp.broadcast_to(valid, (4, v))).reshape(-1)   # [4V]
+
+    m = 4 * v
+    kv = jnp.where(keys == INT32_SENTINEL, INT32_SENTINEL, keys * 2)
+    qv = jnp.where(q == INT32_SENTINEL, INT32_SENTINEL, q * 2 + 1)
+    vals = jnp.concatenate([kv, qv])
+    pay = jnp.concatenate([arange_v, v + jnp.arange(m, dtype=jnp.int32)])
+    sv, sp = jax.lax.sort([vals, pay], num_keys=1)
+    ranks = jnp.cumsum(((sv & 1) == 0) & (sv != INT32_SENTINEL))
+    is_q = sp >= v
+    qtgt = jnp.where(is_q, sp - v, m)
+    r = jnp.zeros(m, jnp.int32).at[qtgt].set(ranks.astype(jnp.int32),
+                                             mode='drop', unique_indices=True)
+
+    base_f = jnp.clip(r - 2, 0, max(v - 3, 0))                # [4V]
+    win = base_f[:, None] + jnp.arange(3, dtype=jnp.int32)[None, :]
+    # keys at the 3 consecutive window rows via ONE [4V]-row gather of a
+    # 3-lane shifted-keys table (gather cost is per row: the separate
+    # keys[win] form was a [12V]-row 1-lane gather, ~27ms/step across stages)
+    sent = jnp.full((2,), INT32_SENTINEL, jnp.int32)
+    ktab = jnp.stack([keys,
+                      jnp.concatenate([keys[1:], sent[:1]]),
+                      jnp.concatenate([keys[2:], sent])], axis=-1)   # [V, 3]
+    kw = ktab[base_f]                                         # [4V, 3]
+    q_ok = q != INT32_SENTINEL
+    delta = jnp.where((kw != INT32_SENTINEL) & q_ok[:, None],
+                      kw - jnp.where(q_ok, q, 0)[:, None], 99)
+    xq = jnp.where(q_ok, q % gx, 0)[:, None]
+    bound_ok = jnp.where(delta == -1, xq > 0,
+                         jnp.where(delta == 1, xq < gx - 1, True))
+    hit = (jnp.abs(delta) <= 1) & bound_ok
+    wsel_f = jnp.where(hit, delta, 2).astype(jnp.int8)        # [4V, 3]
+    base_f = base_f.reshape(4, v)
+    wsel_f = wsel_f.reshape(4, v, 3)
+
+    # center plane: x-neighbors sit at rows i-1 / i+1 exactly
+    nxt = jnp.minimum(arange_v + 1, v - 1)
+    prv = jnp.maximum(arange_v - 1, 0)
+    ok_p = valid & (keys[nxt] == keys + 1) & ((keys + 1) % gx != 0) & (arange_v + 1 < v)
+    ok_m = valid & (keys[prv] == keys - 1) & (keys % gx != 0) & (arange_v > 0)
+    base_c, wsel_c = _base_wsel_from_rows(
+        jnp.where(ok_m, arange_v - 1, INT32_SENTINEL),
+        jnp.where(valid, arange_v, INT32_SENTINEL),
+        jnp.where(ok_p, arange_v + 1, INT32_SENTINEL), v)
+
+    # mirror planes: invert the forward matches with three [V] scatters each.
+    # Ascending mirror rows correspond to forward dx = +1, 0, -1 (mirror
+    # dx e = -d), since k_i = k_j - C - d decreases with d.
+    win_rows = win.reshape(4, v, 3)
+    src = jnp.broadcast_to(arange_v[None, :, None], (4, v, 3))
+    mirror = []
+    for d in (1, 0, -1):
+        mask_d = wsel_f == d
+        tgt = jnp.where(mask_d, win_rows, v)                  # OOB drop
+        a = jnp.full((4, v), INT32_SENTINEL, jnp.int32)
+        a = jax.vmap(lambda aa, tt, ss: aa.at[tt.reshape(-1)].set(
+            ss.reshape(-1), mode='drop', unique_indices=True))(
+            a, tgt, jnp.where(mask_d, src, INT32_SENTINEL))
+        mirror.append(a)                                      # rows for e = -d
+    base_m, wsel_m = jax.vmap(
+        lambda rm, r0, rp: _base_wsel_from_rows(rm, r0, rp, v))(
+        mirror[0], mirror[1], mirror[2])
+
+    # assemble raster plane order: planes 0..3 are mirrors of 8..5, plane 4 is
+    # the center, planes 5..8 are the searched ones in `planes` order
+    # (k raster index (dz+1)*3 + (dy+1): (0,1)->5, (1,-1)->6, (1,0)->7,
+    # (1,1)->8; mirrors land at 8-p).
+    order_f = {5: 0, 6: 1, 7: 2, 8: 3}
+    base_rows, wsel_rows = [], []
+    for p in range(9):
+        if p == 4:
+            base_rows.append(base_c)
+            wsel_rows.append(wsel_c)
+        elif p in order_f:
+            base_rows.append(base_f[order_f[p]])
+            wsel_rows.append(wsel_f[order_f[p]])
+        else:
+            fi = order_f[8 - p]
+            base_rows.append(base_m[fi])
+            wsel_rows.append(wsel_m[fi])
+    return jnp.stack(base_rows), jnp.stack(wsel_rows)
+
+
+def build_planar_k3_direct(st: SparseTensor) -> PlanarRulebook:
+    """Planar subm structure for k=3 directly from key-sorted coords — the
+    production path of build_unet_plans (equivalent to
+    planar_from_k3(build_subm_rulebook(st, 3, assume_sorted=True)) up to
+    don't-care base values in empty planes)."""
+    base, wsel = jax.vmap(partial(_planar_k3_direct_single,
                                   spatial_shape=st.spatial_shape))(st.coords)
     return PlanarRulebook(base=base, wsel=wsel)
 

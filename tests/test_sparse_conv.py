@@ -232,6 +232,33 @@ def test_planar_from_k3_matches_gather_gemm():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_planar_k3_direct_matches_gather_gemm():
+    """build_planar_k3_direct (the production path of build_unet_plans: no
+    27-row rulebook materialized) == the gather-GEMM subm conv, including on a
+    fully dense grid (every mirror-scatter slot hit)."""
+    from openseg3d_tpu.ops.sparse_conv import (
+        sort_by_key, build_planar_k3_direct, apply_planar_subm_conv,
+        build_subm_rulebook as raw_subm_rulebook)
+    rng = np.random.RandomState(17)
+    cases = [make_sparse(rng, b=2, v_cap=128, n_active=100, shape=(9, 7, 5), c=8),
+             make_sparse(rng, b=1, v_cap=64, n_active=64, shape=(4, 4, 4), c=8)]
+    w = jnp.asarray(rng.randn(27, 8, 6).astype(np.float32) * 0.1)
+    for st in cases:
+        sst, _ = sort_by_key(st)
+
+        @jax.jit
+        def run(sst):
+            rb = raw_subm_rulebook(sst, 3, assume_sorted=True)
+            ref = apply_sparse_conv(sst.features, rb, w, sst.mask)
+            got = apply_planar_subm_conv(sst.features, build_planar_k3_direct(sst),
+                                         w, sst.mask)
+            return ref, got
+
+        ref, got = run(sst)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_planar_from_k3_dense_grid_edges():
     """Fully dense tiny grid: every boundary/clamp case of the 3-row window."""
     from openseg3d_tpu.ops.sparse_conv import (

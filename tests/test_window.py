@@ -102,3 +102,38 @@ def test_positional_embedding_shape_and_range():
     pe = jax.jit(lambda c: positional_embedding(c, (10, 10, 8), 48))(ciw)
     assert pe.shape == (2, 32, 48)
     assert np.all(np.abs(np.array(pe)) <= 1.0 + 1e-6)
+
+
+def test_permute_rows_grads_match_autodiff_oracle():
+    """permute_rows' all-gather VJP == autodiff of the take_along_axis +
+    mask formulation (which transposes to a row-scatter-add)."""
+    import jax
+    import jax.numpy as jnp
+    from openseg3d_tpu.ops.window import permute_rows
+    rng = np.random.RandomState(5)
+    b, v, s, c = 2, 24, 40, 6
+    # partial injection: some slots empty (-1), some voxels dropped (-1)
+    fwd = np.full((b, s), -1, np.int32)      # slot -> voxel
+    bwd = np.full((b, v), -1, np.int32)      # voxel -> slot
+    for bi in range(b):
+        vox = rng.permutation(v)[:20]
+        slots = rng.permutation(s)[:20]
+        fwd[bi, slots] = vox
+        bwd[bi, vox] = slots
+    x = jnp.asarray(rng.randn(b, v, c).astype(np.float32))
+    w = jnp.asarray(rng.randn(b, s, c).astype(np.float32))
+    fwd_j, bwd_j = jnp.asarray(fwd), jnp.asarray(bwd)
+
+    def f_new(x):
+        return jnp.sum(permute_rows(x, fwd_j, bwd_j) * w)
+
+    def f_ref(x):
+        g = jnp.take_along_axis(x, jnp.maximum(fwd_j, 0)[..., None], axis=1)
+        g = jnp.where((fwd_j >= 0)[..., None], g, 0)
+        return jnp.sum(g * w)
+
+    o_new, g_new = jax.value_and_grad(f_new)(x)
+    o_ref, g_ref = jax.value_and_grad(f_ref)(x)
+    np.testing.assert_allclose(float(o_new), float(o_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)

@@ -339,17 +339,22 @@ def _downsample_single(coords: jax.Array, spatial_shape, out_shape,
         koff = jnp.repeat(jnp.arange(k3, dtype=jnp.int32), v)
 
     flat_keys = cand_keys.reshape(-1)                      # [n_cand * V]
-    # ONE packed payload column (koff<<VB | v): koff rides the sort because
-    # recovering it afterwards would be a [n_cand*V]-row 1-lane gather
-    # (~5.6ms/step at stage-1 caps), and packing it into the voxel payload's
-    # high bits keeps the sort at 2 moved columns instead of 3 (sort cost is
-    # per moved byte; measured 45ms/step across the 3 stage sorts at 3 cols)
+    # ONE packed payload column (koff<<(VB+CB) | cand<<VB | v): koff and the
+    # candidate index ride the sort because recovering them afterwards would
+    # be a [n_cand*V]-row 1-lane gather (~5.6ms/step at stage-1 caps), and
+    # packing into the voxel payload's high bits keeps the sort at 2 moved
+    # columns instead of 3-4 (sort cost is per moved byte; measured 45ms/step
+    # across the 3 stage sorts at 3 cols)
     vbits = max(v - 1, 1).bit_length()
-    assert vbits + 5 <= 31, (v, 'voxel capacity too large for packed payload')
-    vv_flat = jnp.arange(n_cand * v, dtype=jnp.int32) % v
-    payload = (koff << vbits) | vv_flat
+    cbits = max(n_cand - 1, 1).bit_length()
+    assert vbits + cbits + 5 <= 31, (v, 'voxel capacity too large for payload')
+    arange_cv = jnp.arange(n_cand * v, dtype=jnp.int32)
+    vv_flat = arange_cv % v
+    cc_flat = arange_cv // v
+    payload = (koff << (vbits + cbits)) | (cc_flat << vbits) | vv_flat
     s, sp = jax.lax.sort([flat_keys, payload], num_keys=1)
-    kk = sp >> vbits
+    kk = sp >> (vbits + cbits)
+    cc = (sp >> vbits) & ((1 << cbits) - 1)
 
     is_new = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]]) & (s != INT32_SENTINEL)
     rank = (jnp.cumsum(is_new) - 1).astype(jnp.int32)      # shared by duplicates
@@ -362,14 +367,19 @@ def _downsample_single(coords: jax.Array, spatial_shape, out_shape,
         .at[write].set(s, mode='drop', unique_indices=True)
     out_coords = delinearize(out_keys, out_shape)
 
-    # recover the voxel of each sorted candidate (offset index kk came
-    # through the sort in the payload's high bits)
+    # recover the voxel of each sorted candidate (offset index kk and
+    # candidate index cc came through the sort in the payload's high bits)
     vv = sp & ((1 << vbits) - 1)
 
-    # inverse rulebook: inv[k, v] = output slot this (v, k) pair feeds
-    inv_tgt = jnp.where(ok, kk * v + vv, k3 * v)           # (k, v) is unique
-    inv_in_idx = jnp.full(k3 * v, -1, jnp.int32) \
-        .at[inv_tgt].set(rank, mode='drop', unique_indices=True).reshape(k3, v)
+    # inverse rulebook, candidate-compact form: inv[c, v] = the packed
+    # (output slot * K^3 + offset) that candidate c of input v feeds. With
+    # stride 2 / k 3 each input has at most 8 (parent, tap) pairs, so the
+    # inverse conv gathers 8 pre-transformed rows per fine voxel instead of
+    # 27 (see apply_inverse_conv).
+    inv_tgt = jnp.where(ok, cc * v + vv, n_cand * v)       # (c, v) is unique
+    inv_idx = jnp.full(n_cand * v, -1, jnp.int32) \
+        .at[inv_tgt].set(rank * k3 + kk, mode='drop',
+                         unique_indices=True).reshape(n_cand, v)
 
     # gather rulebook: rule[k, o] = the input voxel at o*s - p + off_k.
     # For fixed (o, k) there is at most one input, so (k, rank) is unique.
@@ -377,7 +387,7 @@ def _downsample_single(coords: jax.Array, spatial_shape, out_shape,
     rule_in_idx = jnp.full(k3 * out_capacity, -1, jnp.int32) \
         .at[rule_tgt].set(vv, mode='drop', unique_indices=True) \
         .reshape(k3, out_capacity)
-    return out_coords, rule_in_idx, inv_in_idx, num_out
+    return out_coords, rule_in_idx, inv_idx, num_out
 
 
 def build_subm_rulebook(st: SparseTensor, kernel_size: int = 3,
@@ -393,12 +403,24 @@ def downsample_shape(spatial_shape, kernel_size: int, stride: int, padding: int)
                  for g in spatial_shape)
 
 
+class InverseRulebook(NamedTuple):
+    """Candidate-compact inverse conv structure (SparseInverseConv3d analog).
+
+    idx[c, v] = out_slot * K^3 + tap for the c-th (parent, tap) pair feeding
+    fine voxel v, or -1. With stride 2 / kernel 3 the parity argument bounds
+    candidates at 8 (vs 27 rulebook rows); fwd_idx is the paired forward rule
+    [B, K^3, Vo], used by the custom VJP to transpose the gather without a
+    scatter-add (see apply_inverse_conv)."""
+    idx: jax.Array            # [B, n_cand, V_fine]
+    fwd_idx: jax.Array        # [B, K^3, Vo]
+
+
 class DownsamplePlan(NamedTuple):
     """Everything the paired SparseConv3d / SparseInverseConv3d need
     (= spconv's cached indice pairs for one indice_key)."""
     out_coords: jax.Array     # [B, Vo, 3]
     rule: Rulebook            # [B, K^3, Vo] into fine level
-    inv_rule: Rulebook        # [B, K^3, V]  into coarse level
+    inv_rule: InverseRulebook
     out_shape: tuple
     num_out: jax.Array        # [B] true number of outputs (pre-capacity-drop)
 
@@ -409,10 +431,12 @@ def build_downsample(st: SparseTensor, out_capacity: int, kernel_size: int = 3,
     f = partial(_downsample_single, spatial_shape=st.spatial_shape,
                 out_shape=out_shape, kernel_size=kernel_size, stride=stride,
                 padding=padding, out_capacity=out_capacity)
-    out_coords, rule_in_idx, inv_in_idx, num_out = jax.vmap(f)(st.coords)
-    return DownsamplePlan(out_coords=out_coords, rule=Rulebook(rule_in_idx),
-                          inv_rule=Rulebook(inv_in_idx), out_shape=out_shape,
-                          num_out=num_out)
+    out_coords, rule_in_idx, inv_idx, num_out = jax.vmap(f)(st.coords)
+    rule = Rulebook(rule_in_idx)
+    return DownsamplePlan(out_coords=out_coords, rule=rule,
+                          inv_rule=InverseRulebook(idx=inv_idx,
+                                                   fwd_idx=rule_in_idx),
+                          out_shape=out_shape, num_out=num_out)
 
 
 # ---------------------------------------------------------------------------
@@ -471,6 +495,98 @@ def apply_sparse_conv(features: jax.Array, rulebook: Rulebook, weights: jax.Arra
             preferred_element_type=jnp.float32)
     out = acc.astype(features.dtype)
     return jnp.where(out_mask[..., None], out, 0)
+
+
+# ---------------------------------------------------------------------------
+# Inverse conv (SparseInverseConv3d): candidate-compact gather over a
+# tap-pretransformed coarse table
+# ---------------------------------------------------------------------------
+#
+# Instead of 27 per-offset row gathers of the coarse features (19 of which hit
+# the zero row — a stride-2/k-3 fine voxel has at most 8 (parent, tap) pairs),
+# transform the coarse features by ALL taps first (one MXU GEMM producing
+# table[o*K^3+k] = x[o] @ W[k]), then gather the <= 8 contributing rows per
+# fine voxel. Row gathers are row-count-bound on v5e, so this is a 3.4x cut of
+# the gather cost for the same GEMM FLOPs. The backward never scatters: each
+# (parent, tap) pair is read by exactly ONE fine voxel, so dtable is a gather
+# of dout through the paired FORWARD rulebook (fwd_idx).
+
+
+def _inverse_apply(cd, features, weights, idx, out_mask):
+    x = features if cd is None else features.astype(cd)
+    w = weights if cd is None else weights.astype(cd)
+    b, vo, cin = x.shape
+    k3, _, cout = w.shape
+    # table[b, o*K^3 + k] = x[b, o] @ w[k]
+    table = jax.lax.dot_general(
+        x, w, dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)    # [B,Vo,K3,Cout]
+    table = table.reshape(b, vo * k3, cout)
+    table = jnp.concatenate([table, jnp.zeros((b, 1, cout), table.dtype)],
+                            axis=1)
+    nc, vf = idx.shape[1], idx.shape[2]
+    flat = jnp.where(idx >= 0, idx, vo * k3).reshape(b, nc * vf)
+    g = jnp.take_along_axis(table, flat[..., None], axis=1)
+    out = jnp.sum(g.reshape(b, nc, vf, cout).astype(jnp.float32),
+                  axis=1).astype(features.dtype)
+    return jnp.where(out_mask[..., None], out, 0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _inverse_conv_vjp(compute_dtype, features, weights, idx, fwd_idx, out_mask):
+    return _inverse_apply(compute_dtype, features, weights, idx, out_mask)
+
+
+def _inverse_conv_fwd(compute_dtype, features, weights, idx, fwd_idx, out_mask):
+    y = _inverse_apply(compute_dtype, features, weights, idx, out_mask)
+    return y, (features, weights, idx, fwd_idx, out_mask)
+
+
+def _inverse_conv_bwd(compute_dtype, res, dout):
+    """dtable[o, k] = dout[fwd_idx[k, o]] (bijection between inverse pairs and
+    forward rule entries), then two MXU dots: dx = dtable @ W^T contracted over
+    (tap, Cout), dW = x^T dtable contracted over (batch, parent)."""
+    features, weights, idx, fwd_idx, out_mask = res
+    cd = compute_dtype
+    x = features if cd is None else features.astype(cd)
+    w = weights if cd is None else weights.astype(cd)
+    b, vo, cin = x.shape
+    k3, _, cout = w.shape
+    g0 = jnp.where(out_mask[..., None], dout, 0)
+    g = g0 if cd is None else g0.astype(cd)
+    vf = g.shape[1]
+    gp = jnp.concatenate([g, jnp.zeros((b, 1, cout), g.dtype)], axis=1)
+    fi = jnp.where(fwd_idx >= 0, fwd_idx, vf).reshape(b, k3 * vo)
+    dy = jnp.take_along_axis(gp, fi[..., None], axis=1) \
+        .reshape(b, k3, vo, cout)                              # = dtable
+    dx = jax.lax.dot_general(
+        dy, w, dimension_numbers=(((1, 3), (0, 2)), ((), ())),
+        preferred_element_type=jnp.float32).astype(features.dtype)
+    dw = jax.lax.dot_general(
+        dy, x, dimension_numbers=(((0, 2), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32)                    # [K3, Cout, Cin]
+    dw = dw.swapaxes(1, 2).astype(weights.dtype)
+    zi = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    zf = np.zeros(fwd_idx.shape, dtype=jax.dtypes.float0)
+    zm = np.zeros(out_mask.shape, dtype=jax.dtypes.float0)
+    return dx, dw, zi, zf, zm
+
+
+_inverse_conv_vjp.defvjp(_inverse_conv_fwd, _inverse_conv_bwd)
+
+
+def apply_inverse_conv(features: jax.Array, inv: InverseRulebook,
+                       weights: jax.Array, out_mask: jax.Array,
+                       compute_dtype=None) -> jax.Array:
+    """SparseInverseConv3d execution (seg3d upsample path, spconv_unet.py:68-112
+    via indice_key reuse): features [B, Vo, Cin] at the coarse level, weights
+    [K^3, Cin, Cout], out_mask the FINE-level validity -> [B, V_fine, Cout].
+    Exactly equivalent to apply_sparse_conv over the dense [K^3, V_fine]
+    inverse rulebook; carries a custom VJP whose residuals are only the conv
+    inputs (nothing to remat)."""
+    cd = None if compute_dtype is None else jnp.dtype(compute_dtype)
+    return _inverse_conv_vjp(cd, features, weights, inv.idx, inv.fwd_idx,
+                             out_mask)
 
 
 # ---------------------------------------------------------------------------
@@ -707,12 +823,15 @@ def build_planar_k3_direct(st: SparseTensor) -> PlanarRulebook:
 
 def apply_subm(features: jax.Array, rulebook, weights: jax.Array,
                out_mask: jax.Array, compute_dtype=None) -> jax.Array:
-    """Dispatch a 3^3 submanifold conv to the planar fast path or the generic
-    gather-GEMM path, depending on the rulebook type. weights [27, Cin, Cout]
-    either way (checkpoint-compatible)."""
+    """Dispatch a 3^3 conv to the planar fast path, the candidate-compact
+    inverse path, or the generic gather-GEMM path, depending on the rulebook
+    type. weights [27, Cin, Cout] either way (checkpoint-compatible)."""
     if isinstance(rulebook, PlanarRulebook):
         return apply_planar_subm_conv(features, rulebook, weights, out_mask,
                                       compute_dtype)
+    if isinstance(rulebook, InverseRulebook):
+        return apply_inverse_conv(features, rulebook, weights, out_mask,
+                                  compute_dtype)
     return apply_sparse_conv(features, rulebook, weights, out_mask,
                              compute_dtype)
 

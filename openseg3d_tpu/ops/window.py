@@ -229,8 +229,12 @@ def batched_window_partition(coords, valid, sparse_shape, window_shape, levels):
 
 
 def _permute_rows_fwd_impl(x, fwd_idx):
-    g = jnp.take_along_axis(x, jnp.maximum(fwd_idx, 0)[..., None], axis=1)
-    return jnp.where((fwd_idx >= 0)[..., None], g, 0)
+    # missing rows read an appended zero row: one [B,1,C] concat replaces a
+    # full [B,N,C]-sized select after the gather
+    b, v, c = x.shape
+    xp = jnp.concatenate([x, jnp.zeros((b, 1, c), x.dtype)], axis=1)
+    idx = jnp.where(fwd_idx >= 0, fwd_idx, v)
+    return jnp.take_along_axis(xp, idx[..., None], axis=1)
 
 
 @jax.custom_vjp
@@ -252,8 +256,10 @@ def _permute_rows_fwd(x, fwd_idx, bwd_idx):
 
 def _permute_rows_bwd(res, dout):
     fwd_idx, bwd_idx, _ = res
-    dx = jnp.take_along_axis(dout, jnp.maximum(bwd_idx, 0)[..., None], axis=1)
-    dx = jnp.where((bwd_idx >= 0)[..., None], dx, 0)
+    b, n, c = dout.shape
+    dp = jnp.concatenate([dout, jnp.zeros((b, 1, c), dout.dtype)], axis=1)
+    idx = jnp.where(bwd_idx >= 0, bwd_idx, n)
+    dx = jnp.take_along_axis(dp, idx[..., None], axis=1)
     import numpy as _np
     zf = _np.zeros(fwd_idx.shape, dtype=jax.dtypes.float0)
     zb = _np.zeros(bwd_idx.shape, dtype=jax.dtypes.float0)
@@ -298,9 +304,10 @@ def window_to_flat(win_feat, scatter_idx, spec: LevelSpec):
     b = win_feat.shape[0]
     c = win_feat.shape[-1]
     flat = win_feat.reshape(b, spec.num_windows * spec.max_tokens, c)
-    safe = jnp.maximum(scatter_idx, 0)
-    g = jnp.take_along_axis(flat, safe[..., None], axis=1)
-    return jnp.where((scatter_idx >= 0)[..., None], g, 0)
+    flat = jnp.concatenate([flat, jnp.zeros((b, 1, c), flat.dtype)], axis=1)
+    idx = jnp.where(scatter_idx >= 0, scatter_idx,
+                    spec.num_windows * spec.max_tokens)
+    return jnp.take_along_axis(flat, idx[..., None], axis=1)
 
 
 def positional_embedding(coors_in_win, window_shape, feat_dim: int,

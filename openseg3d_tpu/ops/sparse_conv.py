@@ -706,17 +706,21 @@ def _planar_k3_direct_single(coords: jax.Array, spatial_shape):
     """coords [V,3] in ascending key order -> (base [9,V], wsel [9,V,3]).
 
     Builds the planar structure DIRECTLY, skipping the 27-row k3 rulebook +
-    planar_from_k3 conversion (the [27V]/[12V] stack/mirror fusions were
-    ~8ms/step of the Waymo-scale profile). Key facts used:
-      * a plane shift (dz, dy, 0) adds the CONSTANT (dz*gy + dy)*gx to the
-        linearized key, so each plane's queries are themselves sorted;
-      * one tagged merge-sort ranks all 4 searched planes' queries at once
-        (as in _subm_rulebook_k3), and hits fall inside the 3-row window
-        [r-2, r] of the sorted table;
-      * mirror planes invert the forward matches: voxel i reading row j at
-        (dz, dy, dx) means j reads i at (-dz, -dy, -dx). For fixed (plane,
-        dx) the match map i -> j is injective (keys are unique), so three
-        [V]-row scatters per plane recover the mirror rows exactly.
+    planar_from_k3 conversion. Key facts used:
+      * a plane shift (dz, dy, 0) adds the CONSTANT C = (dz*gy + dy)*gx to the
+        linearized key, so each plane's query stream keys+C is itself sorted
+        (padding keys are the SENTINEL tail and stay a tail). Both merge
+        inputs being sorted means original indices are recoverable from
+        cumsums — the merge sort needs NO payload column;
+      * ONE payload-free [2V] merge per plane PAIR yields the forward plane
+        (+C: rank of query keys+C among keys = cumsum(is_key) at query
+        entries) AND its mirror (-C: #{k <= k_i - C - 1} = cumsum(is_query)
+        at key entries, since query tags break ties after keys) — replacing
+        the previous 5V two-column sort + three [4,V,3]-sized mirror-inversion
+        scatters (~50ms/step across stages at Waymo caps);
+      * boundary-wrapping queries stay IN the merge (keeping the stream
+        sorted); their false matches are discarded afterwards by per-plane
+        y/z range masks on the voxel's own coords.
     """
     gz, gy, gx = spatial_shape
     v = coords.shape[0]
@@ -725,71 +729,80 @@ def _planar_k3_direct_single(coords: jax.Array, spatial_shape):
     arange_v = jnp.arange(v, dtype=jnp.int32)
 
     planes = ((0, 1), (1, -1), (1, 0), (1, 1))                # searched half
-    shifted = jnp.stack([coords + jnp.asarray([dz, dy, 0], jnp.int32)
-                         for dz, dy in planes])               # [4, V, 3]
-    q = linearize(shifted, spatial_shape,
-                  valid=jnp.broadcast_to(valid, (4, v))).reshape(-1)   # [4V]
+    cs = tuple((dz * gy + dy) * gx for dz, dy in planes)      # key shift / plane
+    # 2*(key + C) + 1 must fit int32 for the tag packing
+    assert 2 * (gz * gy * gx + (gy + 1) * gx) < 2 ** 31, spatial_shape
 
-    m = 4 * v
-    kv = jnp.where(keys == INT32_SENTINEL, INT32_SENTINEL, keys * 2)
-    qv = jnp.where(q == INT32_SENTINEL, INT32_SENTINEL, q * 2 + 1)
-    vals = jnp.concatenate([kv, qv])
-    pay = jnp.concatenate([arange_v, v + jnp.arange(m, dtype=jnp.int32)])
-    sv, sp = jax.lax.sort([vals, pay], num_keys=1)
-    ranks = jnp.cumsum(((sv & 1) == 0) & (sv != INT32_SENTINEL))
-    is_q = sp >= v
-    qtgt = jnp.where(is_q, sp - v, m)
-    r = jnp.zeros(m, jnp.int32).at[qtgt].set(ranks.astype(jnp.int32),
-                                             mode='drop', unique_indices=True)
+    kv = jnp.where(valid, keys * 2, INT32_SENTINEL)           # [V]
+    safe_k = jnp.where(valid, keys, 0)
+    qv = jnp.stack([jnp.where(valid, (safe_k + c) * 2 + 1, INT32_SENTINEL)
+                    for c in cs])                             # [4, V]
+    merged = jnp.concatenate(
+        [jnp.broadcast_to(kv, (4, v)), qv], axis=1)           # [4, 2V]
+    sv = jax.lax.sort(merged, dimension=-1)
+    ok_e = sv != INT32_SENTINEL
+    is_key = ((sv & 1) == 0) & ok_e
+    is_q = ((sv & 1) == 1) & ok_e
+    ck = jnp.cumsum(is_key, axis=-1).astype(jnp.int32)
+    cq = jnp.cumsum(is_q, axis=-1).astype(jnp.int32)
+    # one flat scatter recovers both rank tables: queries land in [0, 4V)
+    # (their index within the plane = cq-1, both streams sorted), keys in
+    # [4V, 8V); sentinels drop out of bounds
+    poff = (jnp.arange(4, dtype=jnp.int32) * v)[:, None]
+    tgt = jnp.where(is_q, poff + cq - 1,
+                    jnp.where(is_key, 4 * v + poff + ck - 1, 8 * v))
+    val = jnp.where(is_q, ck, cq)
+    rs = jnp.zeros(8 * v, jnp.int32).at[tgt.reshape(-1)].set(
+        val.reshape(-1), mode='drop', unique_indices=True)
+    r = rs[:4 * v].reshape(4, v)        # fwd:  #{k <= k_i + C}
+    s = rs[4 * v:].reshape(4, v)        # mir:  #{k <= k_i - C - 1}
 
-    base_f = jnp.clip(r - 2, 0, max(v - 3, 0))                # [4V]
-    win = base_f[:, None] + jnp.arange(3, dtype=jnp.int32)[None, :]
+    # target rows: fwd keys {q-1, q, q+1} lie in [r-2, r]; mirror targets
+    # {t-1, t, t+1} with t = k_i - C lie in [s-1, s+1]
+    base_f = jnp.clip(r - 2, 0, max(v - 3, 0))                # [4, V]
+    base_m = jnp.clip(s - 1, 0, max(v - 3, 0))
+
     # keys at the 3 consecutive window rows via ONE [4V]-row gather of a
-    # 3-lane shifted-keys table (gather cost is per row: the separate
-    # keys[win] form was a [12V]-row 1-lane gather, ~27ms/step across stages)
+    # 3-lane shifted-keys table (gather cost is per row: separate keys[win]
+    # would be a [12V]-row 1-lane gather)
     sent = jnp.full((2,), INT32_SENTINEL, jnp.int32)
     ktab = jnp.stack([keys,
                       jnp.concatenate([keys[1:], sent[:1]]),
                       jnp.concatenate([keys[2:], sent])], axis=-1)   # [V, 3]
-    kw = ktab[base_f]                                         # [4V, 3]
-    q_ok = q != INT32_SENTINEL
-    delta = jnp.where((kw != INT32_SENTINEL) & q_ok[:, None],
-                      kw - jnp.where(q_ok, q, 0)[:, None], 99)
-    xq = jnp.where(q_ok, q % gx, 0)[:, None]
-    bound_ok = jnp.where(delta == -1, xq > 0,
-                         jnp.where(delta == 1, xq < gx - 1, True))
-    hit = (jnp.abs(delta) <= 1) & bound_ok
-    wsel_f = jnp.where(hit, delta, 2).astype(jnp.int8)        # [4V, 3]
-    base_f = base_f.reshape(4, v)
-    wsel_f = wsel_f.reshape(4, v, 3)
+    kw_f = ktab[base_f]                                       # [4, V, 3]
+    kw_m = ktab[base_m]
+
+    zc, yc, xc = coords[..., 0], coords[..., 1], coords[..., 2]
+
+    def plane_ok(dz, dy):
+        return valid & (zc + dz >= 0) & (zc + dz < gz) \
+                     & (yc + dy >= 0) & (yc + dy < gy)
+
+    ok_f = jnp.stack([plane_ok(dz, dy) for dz, dy in planes])   # [4, V]
+    ok_m = jnp.stack([plane_ok(-dz, -dy) for dz, dy in planes])
+    cvec = jnp.asarray(cs, jnp.int32)[:, None]
+
+    def wsel_of(kw, q_target, ok_pl):
+        delta = jnp.where((kw != INT32_SENTINEL) & ok_pl[..., None],
+                          kw - q_target[..., None], 99)
+        xq = xc[None, :, None]
+        bound = jnp.where(delta == -1, xq > 0,
+                          jnp.where(delta == 1, xq < gx - 1, True))
+        hit = (jnp.abs(delta) <= 1) & bound
+        return jnp.where(hit, delta, 2).astype(jnp.int8)
+
+    wsel_f = wsel_of(kw_f, safe_k[None] + cvec, ok_f)         # [4, V, 3]
+    wsel_m = wsel_of(kw_m, safe_k[None] - cvec, ok_m)
 
     # center plane: x-neighbors sit at rows i-1 / i+1 exactly
     nxt = jnp.minimum(arange_v + 1, v - 1)
     prv = jnp.maximum(arange_v - 1, 0)
     ok_p = valid & (keys[nxt] == keys + 1) & ((keys + 1) % gx != 0) & (arange_v + 1 < v)
-    ok_m = valid & (keys[prv] == keys - 1) & (keys % gx != 0) & (arange_v > 0)
+    ok_m_c = valid & (keys[prv] == keys - 1) & (keys % gx != 0) & (arange_v > 0)
     base_c, wsel_c = _base_wsel_from_rows(
-        jnp.where(ok_m, arange_v - 1, INT32_SENTINEL),
+        jnp.where(ok_m_c, arange_v - 1, INT32_SENTINEL),
         jnp.where(valid, arange_v, INT32_SENTINEL),
         jnp.where(ok_p, arange_v + 1, INT32_SENTINEL), v)
-
-    # mirror planes: invert the forward matches with three [V] scatters each.
-    # Ascending mirror rows correspond to forward dx = +1, 0, -1 (mirror
-    # dx e = -d), since k_i = k_j - C - d decreases with d.
-    win_rows = win.reshape(4, v, 3)
-    src = jnp.broadcast_to(arange_v[None, :, None], (4, v, 3))
-    mirror = []
-    for d in (1, 0, -1):
-        mask_d = wsel_f == d
-        tgt = jnp.where(mask_d, win_rows, v)                  # OOB drop
-        a = jnp.full((4, v), INT32_SENTINEL, jnp.int32)
-        a = jax.vmap(lambda aa, tt, ss: aa.at[tt.reshape(-1)].set(
-            ss.reshape(-1), mode='drop', unique_indices=True))(
-            a, tgt, jnp.where(mask_d, src, INT32_SENTINEL))
-        mirror.append(a)                                      # rows for e = -d
-    base_m, wsel_m = jax.vmap(
-        lambda rm, r0, rp: _base_wsel_from_rows(rm, r0, rp, v))(
-        mirror[0], mirror[1], mirror[2])
 
     # assemble raster plane order: planes 0..3 are mirrors of 8..5, plane 4 is
     # the center, planes 5..8 are the searched ones in `planes` order

@@ -28,7 +28,8 @@ class SparseConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, rulebook, out_mask):
-        k3 = rulebook.in_idx.shape[1] if isinstance(rulebook, Rulebook) else 27
+        k3 = getattr(rulebook, 'in_idx', None)
+        k3 = k3.shape[1] if k3 is not None else 27
         w = self.param('kernel', nn.initializers.kaiming_normal(),
                        (k3, x.shape[-1], self.features))
         if isinstance(rulebook, Rulebook):
@@ -40,9 +41,9 @@ class SparseConv(nn.Module):
                 lambda xx, ww: apply_subm(xx, rulebook, ww, out_mask,
                                           compute_dtype=xx.dtype))(x, w)
         else:
-            # planar convs carry a custom VJP whose residuals are just the
-            # conv INPUTS — nothing big is saved, so remat would only add a
-            # full recomputed gather pass per conv to the backward
+            # planar / strided / inverse convs carry custom VJPs whose
+            # residuals are just the conv INPUTS — nothing big is saved, so
+            # remat would only add a recomputed gather pass to the backward
             y = apply_subm(x, rulebook, w, out_mask, compute_dtype=x.dtype)
         if self.use_bias:
             b = self.param('bias', nn.initializers.zeros, (self.features,))

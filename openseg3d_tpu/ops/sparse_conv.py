@@ -371,15 +371,21 @@ def _downsample_single(coords: jax.Array, spatial_shape, out_shape,
     # candidate index cc came through the sort in the payload's high bits)
     vv = sp & ((1 << vbits) - 1)
 
-    # inverse rulebook, candidate-compact form: inv[c, v] = the packed
-    # (output slot * K^3 + offset) that candidate c of input v feeds. With
-    # stride 2 / k 3 each input has at most 8 (parent, tap) pairs, so the
-    # inverse conv gathers 8 pre-transformed rows per fine voxel instead of
-    # 27 (see apply_inverse_conv).
+    # pair structure, candidate-compact form: rank_cv[c, v] = the output slot
+    # the c-th (parent, tap) pair of input v feeds (-1 = absent). The tap is
+    # NOT stored: it is a static function of (candidate, input parity class),
+    # which is what lets both the inverse conv and the strided conv's
+    # backward select weights per parity class on the MXU instead of
+    # gathering per-pair taps (see apply_inverse_conv / apply_strided_conv).
     inv_tgt = jnp.where(ok, cc * v + vv, n_cand * v)       # (c, v) is unique
-    inv_idx = jnp.full(n_cand * v, -1, jnp.int32) \
-        .at[inv_tgt].set(rank * k3 + kk, mode='drop',
+    rank_cv = jnp.full(n_cand * v, -1, jnp.int32) \
+        .at[inv_tgt].set(rank, mode='drop',
                          unique_indices=True).reshape(n_cand, v)
+    if kernel_size == 3 and stride == 2:
+        pclass = (par[:, 0] * 2 + par[:, 1]) * 2 + par[:, 2]
+        pclass = jnp.where(valid, pclass, 0).astype(jnp.int32)
+    else:
+        pclass = jnp.zeros(v, jnp.int32)
 
     # gather rulebook: rule[k, o] = the input voxel at o*s - p + off_k.
     # For fixed (o, k) there is at most one input, so (k, rank) is unique.
@@ -387,7 +393,7 @@ def _downsample_single(coords: jax.Array, spatial_shape, out_shape,
     rule_in_idx = jnp.full(k3 * out_capacity, -1, jnp.int32) \
         .at[rule_tgt].set(vv, mode='drop', unique_indices=True) \
         .reshape(k3, out_capacity)
-    return out_coords, rule_in_idx, inv_idx, num_out
+    return out_coords, rule_in_idx, rank_cv, pclass, num_out
 
 
 def build_subm_rulebook(st: SparseTensor, kernel_size: int = 3,
@@ -403,23 +409,60 @@ def downsample_shape(spatial_shape, kernel_size: int, stride: int, padding: int)
                  for g in spatial_shape)
 
 
-class InverseRulebook(NamedTuple):
-    """Candidate-compact inverse conv structure (SparseInverseConv3d analog).
+class StridedRulebook(NamedTuple):
+    """Forward strided conv structure (SparseConv3d analog) + the compact
+    pair structure its custom VJP needs to transpose WITHOUT a scatter-add.
 
-    idx[c, v] = out_slot * K^3 + tap for the c-th (parent, tap) pair feeding
-    fine voxel v, or -1. With stride 2 / kernel 3 the parity argument bounds
-    candidates at 8 (vs 27 rulebook rows); fwd_idx is the paired forward rule
-    [B, K^3, Vo], used by the custom VJP to transpose the gather without a
-    scatter-add (see apply_inverse_conv)."""
-    idx: jax.Array            # [B, n_cand, V_fine]
+    rank[c, v] = output slot the c-th candidate pair of input v feeds (-1 if
+    absent); with stride 2 / kernel 3 the parity argument bounds candidates
+    at 8. The tap of pair (c, v) is the STATIC table tap[pclass[v], c]
+    (tapok marks combinations that exist), so weight selection happens per
+    parity class on the MXU — no per-pair tap data."""
+    in_idx: jax.Array         # [B, K^3, Vo] gather rule into the fine level
+    rank: jax.Array           # [B, n_cand, V_fine]
+    pclass: jax.Array         # [B, V_fine] parity class in [0, P)
+    tap: jax.Array            # [P, n_cand] static
+    tapok: jax.Array          # [P, n_cand] static bool
+
+
+class InverseRulebook(NamedTuple):
+    """Candidate-compact inverse conv structure (SparseInverseConv3d analog):
+    the same pair structure read from the fine side, plus the paired forward
+    rule for the backward's coarse-side gather."""
+    rank: jax.Array           # [B, n_cand, V_fine]
+    pclass: jax.Array         # [B, V_fine]
+    tap: jax.Array            # [P, n_cand]
+    tapok: jax.Array          # [P, n_cand]
     fwd_idx: jax.Array        # [B, K^3, Vo]
+
+
+def _tap_tables(kernel_size: int, stride: int):
+    """Static (tap, tapok) [P, n_cand]: tap index of candidate c for an input
+    in parity class P. For the k3/s2 parity specialization P decomposes as
+    (pz*2+py)*2+px and candidates as (cz*2+cy)*2+cx with off = p + 2*c per
+    axis; generically every offset is its own candidate and parity is unused."""
+    if kernel_size == 3 and stride == 2:
+        tap = np.zeros((8, 8), np.int32)
+        ok = np.zeros((8, 8), bool)
+        for p in range(8):
+            pz, py, px = (p >> 2) & 1, (p >> 1) & 1, p & 1
+            for c in range(8):
+                cz, cy, cx = (c >> 2) & 1, (c >> 1) & 1, c & 1
+                oz, oy, ox = pz + 2 * cz, py + 2 * cy, px + 2 * cx
+                if oz < 3 and oy < 3 and ox < 3:
+                    tap[p, c] = (oz * 3 + oy) * 3 + ox
+                    ok[p, c] = True
+        return jnp.asarray(tap), jnp.asarray(ok)
+    k3 = kernel_size ** 3
+    return (jnp.arange(k3, dtype=jnp.int32)[None, :],
+            jnp.ones((1, k3), bool))
 
 
 class DownsamplePlan(NamedTuple):
     """Everything the paired SparseConv3d / SparseInverseConv3d need
     (= spconv's cached indice pairs for one indice_key)."""
     out_coords: jax.Array     # [B, Vo, 3]
-    rule: Rulebook            # [B, K^3, Vo] into fine level
+    rule: StridedRulebook
     inv_rule: InverseRulebook
     out_shape: tuple
     num_out: jax.Array        # [B] true number of outputs (pre-capacity-drop)
@@ -431,11 +474,13 @@ def build_downsample(st: SparseTensor, out_capacity: int, kernel_size: int = 3,
     f = partial(_downsample_single, spatial_shape=st.spatial_shape,
                 out_shape=out_shape, kernel_size=kernel_size, stride=stride,
                 padding=padding, out_capacity=out_capacity)
-    out_coords, rule_in_idx, inv_idx, num_out = jax.vmap(f)(st.coords)
-    rule = Rulebook(rule_in_idx)
-    return DownsamplePlan(out_coords=out_coords, rule=rule,
-                          inv_rule=InverseRulebook(idx=inv_idx,
-                                                   fwd_idx=rule_in_idx),
+    out_coords, rule_in_idx, rank_cv, pclass, num_out = jax.vmap(f)(st.coords)
+    tap, tapok = _tap_tables(kernel_size, stride)
+    rule = StridedRulebook(in_idx=rule_in_idx, rank=rank_cv, pclass=pclass,
+                           tap=tap, tapok=tapok)
+    inv = InverseRulebook(rank=rank_cv, pclass=pclass, tap=tap, tapok=tapok,
+                          fwd_idx=rule_in_idx)
+    return DownsamplePlan(out_coords=out_coords, rule=rule, inv_rule=inv,
                           out_shape=out_shape, num_out=num_out)
 
 
@@ -498,55 +543,88 @@ def apply_sparse_conv(features: jax.Array, rulebook: Rulebook, weights: jax.Arra
 
 
 # ---------------------------------------------------------------------------
-# Inverse conv (SparseInverseConv3d): candidate-compact gather over a
-# tap-pretransformed coarse table
+# Inverse conv (SparseInverseConv3d) and the strided conv's backward:
+# candidate-compact gathers + per-parity-class weight selection
 # ---------------------------------------------------------------------------
 #
-# Instead of 27 per-offset row gathers of the coarse features (19 of which hit
-# the zero row — a stride-2/k-3 fine voxel has at most 8 (parent, tap) pairs),
-# transform the coarse features by ALL taps first (one MXU GEMM producing
-# table[o*K^3+k] = x[o] @ W[k]), then gather the <= 8 contributing rows per
-# fine voxel. Row gathers are row-count-bound on v5e, so this is a 3.4x cut of
-# the gather cost for the same GEMM FLOPs. The backward never scatters: each
-# (parent, tap) pair is read by exactly ONE fine voxel, so dtable is a gather
-# of dout through the paired FORWARD rulebook (fwd_idx).
+# A stride-2/k-3 fine voxel has at most 8 (parent, tap) pairs, and the tap of
+# pair (c, v) depends only on (c, parity class of v) — a STATIC table. So the
+# fine-side direction (inverse conv forward; strided conv's dx) is:
+#   1. gather the <= 8 parent rows per fine voxel straight from the SMALL
+#      coarse tensor (an earlier design pre-transformed a [Vo*27, C] tap table
+#      and gathered from that; at Waymo scale the 27x larger gather source
+#      blew the row cost from ~7ns to ~53ns — locality, not row count);
+#   2. compute all P=8 parity-class results with one MXU contraction against
+#      the statically tap-selected weights (8x FLOP inflation, trivial next
+#      to the gather), and select each voxel's class with a one-hot VPU sum.
+# The coarse-side direction (inverse conv's dx; handled by apply_sparse_conv
+# for the strided forward) gathers through the dense K^3 forward rule, whose
+# source is again the small fine-level tensor. NOTHING in either direction
+# ever scatters.
 
 
-def _inverse_apply(cd, features, weights, idx, out_mask):
-    x = features if cd is None else features.astype(cd)
+def _tap_weights(w, tap, tapok):
+    """[P, n_cand, Cin, Cout] statically tap-selected weights (0 where the
+    (class, candidate) pair cannot exist)."""
+    ws = w[tap]
+    return jnp.where(tapok[..., None, None], ws, 0)
+
+
+def _pair_gather(x, rank):
+    """x [B, N, C], rank [B, nc, V] -> [B, nc, V, C] (zero rows where -1)."""
+    b, n, c = x.shape
+    nc, v = rank.shape[1], rank.shape[2]
+    xp = jnp.concatenate([x, jnp.zeros((b, 1, c), x.dtype)], axis=1)
+    flat = jnp.where(rank >= 0, rank, n).reshape(b, nc * v)
+    g = jnp.take_along_axis(xp, flat[..., None], axis=1)
+    return g.reshape(b, nc, v, c)
+
+
+def _class_select(all_p, pclass):
+    """all_p [B, V, P, C], pclass [B, V] -> [B, V, C] (one-hot VPU sum)."""
+    p = all_p.shape[2]
+    onehot = (pclass[..., None] == jnp.arange(p, dtype=pclass.dtype)) \
+        .astype(all_p.dtype)
+    return jnp.einsum('bvpc,bvp->bvc', all_p, onehot)
+
+
+def _fine_side_apply(cd, coarse, weights, rank, pclass, tap, tapok, out_mask,
+                     out_dtype, transpose_w: bool):
+    """out[v] = sum_c coarse[rank[c, v]] @ W[tap(pclass[v], c)] (or W^T)."""
+    x = coarse if cd is None else coarse.astype(cd)
     w = weights if cd is None else weights.astype(cd)
-    b, vo, cin = x.shape
-    k3, _, cout = w.shape
-    # table[b, o*K^3 + k] = x[b, o] @ w[k]
-    table = jax.lax.dot_general(
-        x, w, dimension_numbers=(((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(x.dtype)    # [B,Vo,K3,Cout]
-    table = table.reshape(b, vo * k3, cout)
-    table = jnp.concatenate([table, jnp.zeros((b, 1, cout), table.dtype)],
-                            axis=1)
-    nc, vf = idx.shape[1], idx.shape[2]
-    flat = jnp.where(idx >= 0, idx, vo * k3).reshape(b, nc * vf)
-    g = jnp.take_along_axis(table, flat[..., None], axis=1)
-    out = jnp.sum(g.reshape(b, nc, vf, cout).astype(jnp.float32),
-                  axis=1).astype(features.dtype)
-    return jnp.where(out_mask[..., None], out, 0)
+    gath = _pair_gather(x, rank)                    # [B, nc, Vf, C]
+    wsel = _tap_weights(w, tap, tapok)              # [P, nc, Cin, Cout]
+    if transpose_w:
+        wsel = wsel.swapaxes(-1, -2)
+    # contract (candidate, channel): [B,nc,Vf,Ci] x [P,nc,Ci,Co] -> [B,Vf,P,Co]
+    all_p = jax.lax.dot_general(
+        gath, wsel, dimension_numbers=(((1, 3), (1, 2)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out = _class_select(all_p, pclass).astype(out_dtype)
+    return jnp.where(out_mask[..., None], out, 0), gath
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _inverse_conv_vjp(compute_dtype, features, weights, idx, fwd_idx, out_mask):
-    return _inverse_apply(compute_dtype, features, weights, idx, out_mask)
+def _inverse_conv_vjp(compute_dtype, features, weights, rank, pclass, tap,
+                      tapok, fwd_idx, out_mask):
+    y, _ = _fine_side_apply(compute_dtype, features, weights, rank, pclass,
+                            tap, tapok, out_mask, features.dtype, False)
+    return y
 
 
-def _inverse_conv_fwd(compute_dtype, features, weights, idx, fwd_idx, out_mask):
-    y = _inverse_apply(compute_dtype, features, weights, idx, out_mask)
-    return y, (features, weights, idx, fwd_idx, out_mask)
+def _inverse_conv_fwd(compute_dtype, features, weights, rank, pclass, tap,
+                      tapok, fwd_idx, out_mask):
+    y = _inverse_conv_vjp(compute_dtype, features, weights, rank, pclass, tap,
+                          tapok, fwd_idx, out_mask)
+    return y, (features, weights, rank, pclass, tap, tapok, fwd_idx, out_mask)
 
 
 def _inverse_conv_bwd(compute_dtype, res, dout):
-    """dtable[o, k] = dout[fwd_idx[k, o]] (bijection between inverse pairs and
-    forward rule entries), then two MXU dots: dx = dtable @ W^T contracted over
-    (tap, Cout), dW = x^T dtable contracted over (batch, parent)."""
-    features, weights, idx, fwd_idx, out_mask = res
+    """Coarse-side transpose: each (parent, tap) pair is read by exactly ONE
+    fine voxel, so dy[k, o] = dout[fwd_idx[k, o]] is a gather from the small
+    fine-level cotangent; then dx = dy @ W^T and dW = x^T dy on the MXU."""
+    features, weights, rank, pclass, tap, tapok, fwd_idx, out_mask = res
     cd = compute_dtype
     x = features if cd is None else features.astype(cd)
     w = weights if cd is None else weights.astype(cd)
@@ -554,22 +632,17 @@ def _inverse_conv_bwd(compute_dtype, res, dout):
     k3, _, cout = w.shape
     g0 = jnp.where(out_mask[..., None], dout, 0)
     g = g0 if cd is None else g0.astype(cd)
-    vf = g.shape[1]
-    gp = jnp.concatenate([g, jnp.zeros((b, 1, cout), g.dtype)], axis=1)
-    fi = jnp.where(fwd_idx >= 0, fwd_idx, vf).reshape(b, k3 * vo)
-    dy = jnp.take_along_axis(gp, fi[..., None], axis=1) \
-        .reshape(b, k3, vo, cout)                              # = dtable
+    dy = _pair_gather(g, fwd_idx)                            # [B, K3, Vo, Cout]
     dx = jax.lax.dot_general(
         dy, w, dimension_numbers=(((1, 3), (0, 2)), ((), ())),
         preferred_element_type=jnp.float32).astype(features.dtype)
     dw = jax.lax.dot_general(
         dy, x, dimension_numbers=(((0, 2), (0, 1)), ((), ())),
-        preferred_element_type=jnp.float32)                    # [K3, Cout, Cin]
+        preferred_element_type=jnp.float32)                  # [K3, Cout, Cin]
     dw = dw.swapaxes(1, 2).astype(weights.dtype)
-    zi = np.zeros(idx.shape, dtype=jax.dtypes.float0)
-    zf = np.zeros(fwd_idx.shape, dtype=jax.dtypes.float0)
-    zm = np.zeros(out_mask.shape, dtype=jax.dtypes.float0)
-    return dx, dw, zi, zf, zm
+    z = [np.zeros(a.shape, dtype=jax.dtypes.float0)
+         for a in (rank, pclass, tap, tapok, fwd_idx, out_mask)]
+    return (dx, dw, *z)
 
 
 _inverse_conv_vjp.defvjp(_inverse_conv_fwd, _inverse_conv_bwd)
@@ -585,8 +658,77 @@ def apply_inverse_conv(features: jax.Array, inv: InverseRulebook,
     inverse rulebook; carries a custom VJP whose residuals are only the conv
     inputs (nothing to remat)."""
     cd = None if compute_dtype is None else jnp.dtype(compute_dtype)
-    return _inverse_conv_vjp(cd, features, weights, inv.idx, inv.fwd_idx,
-                             out_mask)
+    return _inverse_conv_vjp(cd, features, weights, inv.rank, inv.pclass,
+                             inv.tap, inv.tapok, inv.fwd_idx, out_mask)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _strided_conv_vjp(compute_dtype, features, weights, in_idx, rank, pclass,
+                      tap, tapok, out_mask):
+    return apply_sparse_conv(features, Rulebook(in_idx), weights, out_mask,
+                             compute_dtype)
+
+
+def _strided_conv_fwd(compute_dtype, features, weights, in_idx, rank, pclass,
+                      tap, tapok, out_mask):
+    y = _strided_conv_vjp(compute_dtype, features, weights, in_idx, rank,
+                          pclass, tap, tapok, out_mask)
+    return y, (features, weights, in_idx, rank, pclass, tap, tapok, out_mask)
+
+
+def _strided_conv_bwd(compute_dtype, res, dout):
+    """Fine-side transpose via the compact pair structure (NO scatter-add,
+    which XLA's autodiff of the forward gather would emit — measured 57ms at
+    the d2 stage alone): dx is the fine-side apply of dout with transposed
+    tap weights; dW reuses the same gathered pair rows, contracting
+    class-masked x against them and folding (class, candidate) onto taps with
+    a static one-hot."""
+    features, weights, in_idx, rank, pclass, tap, tapok, out_mask = res
+    cd = compute_dtype
+    x = features if cd is None else features.astype(cd)
+    w = weights if cd is None else weights.astype(cd)
+    b, vf, cin = x.shape
+    k3, _, cout = w.shape
+    g0 = jnp.where(out_mask[..., None], dout, 0)
+    g = g0 if cd is None else g0.astype(cd)
+
+    # dx[v] = sum_c g[rank[c, v]] @ W[tap]^T — fine-side apply, transposed.
+    # Rows with no pairs come out zero on their own (all gathered rows are
+    # the appended zero row), so the mask argument is a tautology.
+    dx, gath = _fine_side_apply(cd, g, weights, rank, pclass, tap, tapok,
+                                jnp.ones(pclass.shape, bool),
+                                features.dtype, True)
+
+    # dW[k] = sum_{(v,c): tap(P(v),c)=k} x[v] (x) gath[c, v]
+    p = tap.shape[0]
+    onehot = (pclass[..., None] == jnp.arange(p, dtype=pclass.dtype)) \
+        .astype(x.dtype)                                     # [B, Vf, P]
+    xo = jnp.einsum('bvi,bvp->bpvi', x, onehot)
+    dw2 = jax.lax.dot_general(
+        xo, gath, dimension_numbers=(((0, 2), (0, 2)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [P, Cin, nc, Cout]
+    t_onehot = ((tap[..., None] == jnp.arange(k3, dtype=tap.dtype))
+                & tapok[..., None]).astype(jnp.float32)      # [P, nc, K3]
+    dw = jnp.einsum('pico,pck->kio', dw2, t_onehot).astype(weights.dtype)
+
+    z = [np.zeros(a.shape, dtype=jax.dtypes.float0)
+         for a in (in_idx, rank, pclass, tap, tapok, out_mask)]
+    return (dx, dw, *z)
+
+
+_strided_conv_vjp.defvjp(_strided_conv_fwd, _strided_conv_bwd)
+
+
+def apply_strided_conv(features: jax.Array, rule: StridedRulebook,
+                       weights: jax.Array, out_mask: jax.Array,
+                       compute_dtype=None) -> jax.Array:
+    """SparseConv3d execution (stride-2 downsample): forward is the plain
+    gather-GEMM over the dense rule; the custom VJP transposes through the
+    compact pair structure so no scatter-add ever appears and nothing big
+    needs rematerialization."""
+    cd = None if compute_dtype is None else jnp.dtype(compute_dtype)
+    return _strided_conv_vjp(cd, features, weights, rule.in_idx, rule.rank,
+                             rule.pclass, rule.tap, rule.tapok, out_mask)
 
 
 # ---------------------------------------------------------------------------
@@ -845,6 +987,9 @@ def apply_subm(features: jax.Array, rulebook, weights: jax.Array,
     if isinstance(rulebook, InverseRulebook):
         return apply_inverse_conv(features, rulebook, weights, out_mask,
                                   compute_dtype)
+    if isinstance(rulebook, StridedRulebook):
+        return apply_strided_conv(features, rulebook, weights, out_mask,
+                                  compute_dtype)
     return apply_sparse_conv(features, rulebook, weights, out_mask,
                              compute_dtype)
 
@@ -966,8 +1111,14 @@ def _planar_conv_bwd(compute_dtype, res, dout):
            neighbor relation is symmetric (o reads u at offset k <=> u reads o
            at offset -k), so the SAME planar rulebook serves the transpose
            with W'[k] = W[26-k]^T;
-      dw[p, dx] = nb_p(x)^T @ dout contracted over (batch, voxel) — one MXU
-           dot per plane over the recomputed neighbor tensor.
+      dw REUSES the dx pass's neighbor tensors via the same symmetry:
+           dW[p, d] = sum_v nb_{p,d}(x)[v] (x) g[v]
+                    = sum_j x[j] (x) nb_{mirror(p), -d}(g)[j],
+           so ONLY g is ever gathered in the backward. (An earlier version
+           gathered concat([x, g]) to feed dw from nb(x); window gathers
+           turned out byte-bound at these widths, so halving the gathered
+           bytes — and dropping the concat copy — nearly halves the backward's
+           gather time.)
     """
     features, weights, base, wsel, out_mask = res
     b, v, cin = features.shape
@@ -983,27 +1134,21 @@ def _planar_conv_bwd(compute_dtype, res, dout):
     wm = (w_mirror if cd is None else w_mirror.astype(cd)) \
         .reshape(9, 3, cout, cin)
 
-    # dx needs nb(g) and dw needs nb(x) — through the SAME (base, wsel)
-    # structure. Window gathers are slice-count-bound, not byte-bound, so ONE
-    # pass over concat([x, g]) costs like one pass over x and halves the
-    # backward's gather time (measured: the three per-stage gather fusions
-    # were the largest non-loss items of the train profile).
-    xg = jnp.concatenate([x, g], axis=-1)                    # [B,V,Cin+Cout]
     acc_dx = jnp.zeros((b, v, cin), jnp.float32)
-    dws = []
+    dws = [None] * 9
     for p in range(9):
-        nb = _plane_neighbors(xg, base[:, p], wsel[:, p], p)  # [B,V,3,Cin+Cout]
-        nb_x = nb[..., :cin]
-        nb_g = nb[..., cin:]
+        nb_g = _plane_neighbors(g, base[:, p], wsel[:, p], p)  # [B,V,3,Cout]
         acc_dx = acc_dx + jax.lax.dot_general(
             nb_g.reshape(b, v, 3 * cout), wm[p].reshape(3 * cout, cin),
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        dw_p = jax.lax.dot_general(
-            nb_x.reshape(b, v, 3 * cin), g.reshape(b, v, cout),
+        # dW for the MIRROR plane: contract x against nb_g over (batch,
+        # voxel); dx-slot s of plane 8-p pairs with slot 2-s of plane p
+        dw_m = jax.lax.dot_general(
+            x, nb_g[:, :, ::-1, :],
             dimension_numbers=(((0, 1), (0, 1)), ((), ())),
-            preferred_element_type=jnp.float32)              # [3Cin, Cout]
-        dws.append(dw_p.reshape(3, cin, cout))
+            preferred_element_type=jnp.float32)              # [Cin, 3, Cout]
+        dws[8 - p] = dw_m.swapaxes(0, 1)                     # [3, Cin, Cout]
     dx = jnp.where(out_mask[..., None], acc_dx.astype(features.dtype), 0)
     dw = jnp.concatenate(dws, axis=0).astype(weights.dtype)  # [27, Cin, Cout]
 

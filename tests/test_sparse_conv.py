@@ -183,10 +183,15 @@ def test_inverse_conv_values_and_grads_match_autodiff():
     # this toolchain: jit(grad(...)) with compile-time-constant gather indices
     # silently computes a wrong dx (verified: nojit fine, CPU fine, explicit
     # args fine; only constant-index jit grad on the axon TPU backend is off).
+    # Reference formulation: a packed (slot*27 + tap) index into a
+    # tap-pretransformed table — an independent path from the class-selected
+    # production code (tap recovered from the static (pclass, candidate) map).
     def ref(x, w, inv, mask):
         table = jnp.einsum('bvc,kcd->bvkd', x, w).reshape(2, vo * 27, cout)
         table = jnp.concatenate([table, jnp.zeros((2, 1, cout))], axis=1)
-        idx = inv.idx
+        taps = jnp.where(inv.tapok, inv.tap, 0)[inv.pclass]   # [B, Vf, nc]
+        taps = taps.transpose(0, 2, 1)                        # [B, nc, Vf]
+        idx = jnp.where(inv.rank >= 0, inv.rank * 27 + taps, -1)
         flat = jnp.where(idx >= 0, idx, vo * 27).reshape(2, -1)
         g = jnp.take_along_axis(table, flat[..., None], axis=1)
         out = g.reshape(2, idx.shape[1], -1, cout).sum(axis=1)
@@ -201,6 +206,41 @@ def test_inverse_conv_values_and_grads_match_autodiff():
         x, w, plan.inv_rule, st.mask)
     (lg, (gxg, gwg)) = jax.jit(jax.value_and_grad(got, argnums=(0, 1)))(
         x, w, plan.inv_rule, st.mask)
+    np.testing.assert_allclose(float(lg), float(lr), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gxg), np.asarray(gxr),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gwg), np.asarray(gwr),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_strided_conv_custom_vjp_matches_autodiff():
+    """apply_strided_conv (custom VJP: dx via the compact pair structure with
+    per-parity-class transposed taps, dW via class-masked contraction) must
+    match autodiff of the plain gather-GEMM apply_sparse_conv for values and
+    both gradients."""
+    from openseg3d_tpu.ops.sparse_conv import Rulebook, apply_strided_conv
+    rng = np.random.RandomState(11)
+    shape, cin, cout = (9, 7, 5), 6, 4
+    st = make_sparse(rng, b=2, v_cap=48, n_active=40, shape=shape, c=cin)
+    plan = build_downsample(st, out_capacity=96)
+    cmask = plan.out_coords[..., 0] >= 0
+    x = jnp.array(rng.randn(2, 48, cin).astype(np.float32))
+    x = jnp.where(st.mask[..., None], x, 0)
+    w = jnp.array(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+    tgt = jnp.array(rng.randn(2, 96, cout).astype(np.float32))
+
+    def ref(x, w, in_idx, mask):
+        y = apply_sparse_conv(x, Rulebook(in_idx), w, mask)
+        return jnp.sum(y * tgt)
+
+    def got(x, w, rule, mask):
+        y = apply_strided_conv(x, rule, w, mask)
+        return jnp.sum(y * tgt)
+
+    lr, (gxr, gwr) = jax.jit(jax.value_and_grad(ref, argnums=(0, 1)))(
+        x, w, plan.rule.in_idx, cmask)
+    lg, (gxg, gwg) = jax.jit(jax.value_and_grad(got, argnums=(0, 1)))(
+        x, w, plan.rule, cmask)
     np.testing.assert_allclose(float(lg), float(lr), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gxg), np.asarray(gxr),
                                rtol=1e-4, atol=1e-5)

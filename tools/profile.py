@@ -23,7 +23,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def analyze(trace_dir: str, top: int = 30) -> None:
+def _parse_hlo_metadata(hlo_path: str) -> dict:
+    """Optimized-HLO text -> {op result name: (op_name path, file:line)}.
+    Produced by `jit_fn.lower(...).compile().as_text()` (see --dump_hlo)."""
+    import re
+    meta = {}
+    pat = re.compile(r'%([\w.\-]+) = .*?metadata=\{op_name="([^"]*)"'
+                     r'(?: source_file="([^"]*)" source_line=(\d+))?')
+    with open(hlo_path) as fh:
+        for line in fh:
+            m = pat.search(line)
+            if m:
+                name, op, sf, sl = m.groups()
+                meta[name] = (op, f'{sf.split("/")[-1]}:{sl}' if sf else '')
+    return meta
+
+
+def analyze(trace_dir: str, top: int = 30, hlo_path: str = '') -> None:
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     files = glob.glob(trace_dir + '/**/*.xplane.pb', recursive=True)
@@ -85,6 +101,24 @@ def analyze(trace_dir: str, top: int = 30) -> None:
     for k, v in sorted(agg.items(), key=lambda x: -x[1])[:top]:
         print(f'  {v:9.1f} ms x{cnt[k]:4d}  {k[:110]}')
 
+    if hlo_path:
+        # join op timings onto HLO op_name provenance -> per-module/source
+        # attribution (the shape-only view above can't tell a decoder conv
+        # from an encoder one)
+        import re
+        meta = _parse_hlo_metadata(hlo_path)
+        magg = defaultdict(float)
+        for k, v in agg.items():
+            base = k.split(' ')[0].lstrip('%')
+            op, loc = meta.get(base, ('?unmatched', ''))
+            op = re.sub(r'^jit\([\w_]+\)/', '', op)
+            op = re.sub(r'jvp\((\w+)\)/', '', op)
+            op = re.sub(r'transpose\(', 'bwd(', op)
+            magg[('/'.join(op.split('/')[:4]), loc)] += v
+        print('== by module/source (ms/step, needs --hlo of the SAME build) ==')
+        for (lead, loc), v in sorted(magg.items(), key=lambda x: -x[1])[:40]:
+            print(f'  {v / steps:8.2f}  {lead[:95]}  [{loc}]')
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -96,10 +130,16 @@ def main():
     ap.add_argument('--trace_dir', default='/tmp/openseg3d_xplane')
     ap.add_argument('--analyze_only', action='store_true',
                     help='just re-parse an existing trace directory')
+    ap.add_argument('--hlo', default='',
+                    help='optimized-HLO text of the traced executable; joins '
+                         'op timings onto op_name/source provenance')
+    ap.add_argument('--dump_hlo', default='',
+                    help='write the optimized HLO of the profiled step here '
+                         '(and use it for the provenance join)')
     args = ap.parse_args()
 
     if args.analyze_only:
-        analyze(args.trace_dir)
+        analyze(args.trace_dir, hlo_path=args.hlo)
         return
 
     os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_bench_cache')
@@ -143,11 +183,19 @@ def main():
         step = make_train_step(cfg, spec, model, donate=False)
         run = lambda st: step(st, batch, key)
         sync = lambda out: float(out[1]['loss'])
+        if args.dump_hlo:
+            txt = step.lower(state, batch, key).compile().as_text()
+            open(args.dump_hlo, 'w').write(txt)
+            args.hlo = args.dump_hlo
     else:
         variables = {'params': state.params, 'batch_stats': state.batch_stats}
         fwd = jax.jit(lambda b: model.apply(variables, b, train=False)['point_out'])
         run = lambda st: (st, fwd(batch))
         sync = lambda out: float(out[1][0, 0, 0])
+        if args.dump_hlo:
+            txt = fwd.lower(batch).compile().as_text()
+            open(args.dump_hlo, 'w').write(txt)
+            args.hlo = args.dump_hlo
 
     t0 = time.time()
     out = run(state)
@@ -164,7 +212,7 @@ def main():
     wall = time.time() - t0
     print(f'{args.steps} traced steps: {wall:.1f}s '
           f'(tracing inflates wall time; use op attribution below)', flush=True)
-    analyze(args.trace_dir)
+    analyze(args.trace_dir, hlo_path=args.hlo)
 
 
 if __name__ == '__main__':

@@ -735,22 +735,43 @@ def apply_strided_conv(features: jax.Array, rule: StridedRulebook,
 # Planar (sorted-x) submanifold conv — the fast path for kernel_size == 3
 # ---------------------------------------------------------------------------
 #
-# With voxels stored in ascending linearized-key order, the three dx-neighbors
-# of any voxel within one (dz, dy) plane occupy a 3-row window of the sorted
-# feature table: if r = #keys <= q for the plane-shifted query q = key(z+dz,
-# y+dy, x), then q-1/q/q+1 (when present) all lie in rows [r-2, r]. So ONE
-# gather with slice size (3, C) per plane replaces three per-offset row
-# gathers. Measured on v5e: the gather-GEMM path is HBM row-gather latency
-# bound (27V rows of C*2 bytes); this cuts row count 3x and triples row width.
+# With voxels stored in ascending linearized-key order the structure BUILD is
+# cheap (one payload-free merge per (dz, dy) plane pair — see
+# _planar_k3_direct_single), and the EXECUTION is a plain row-gather + GEMM
+# over the materialized 27-row index with a hand-written transpose:
+#
+#   * earlier designs gathered [3, C] windows per (plane, voxel) via vmapped
+#     dynamic_slice — measured ~56ns/row on v5e at Waymo scale (the gather
+#     emitter streams the big source badly). Plain per-offset row gathers via
+#     one grouped take_along_axis run the same rows at ~9ns/row and let XLA
+#     overlap them with the GEMMs (microbenchmark: 22ms vs ~83ms for one
+#     stage-2 C=192->96 conv), so the window form was retired;
+#   * the center (dz=0, dy=0) plane never gathers: in sorted order its
+#     dx = -1/0/+1 neighbors sit at rows o-1/o/o+1 exactly, so two row-SHIFTS
+#     and masks replace 3V gathered rows per conv;
+#   * the backward uses the subm symmetry (o reads u at offset k <=> u reads
+#     o at offset 26-k): dx is the same gather-GEMM of the cotangent with
+#     mirrored+transposed weights, and dW reuses those gathered cotangent
+#     neighbors (dW[26-k] = sum_u x[u] (x) nb_k(g)[u]) — ONE gather serves
+#     both, and nothing ever scatters.
 
 
 class PlanarRulebook(NamedTuple):
-    """Sorted-order subm structure: for each of the 9 (dz, dy) planes and each
-    output row, `base` is the clamped start of the 3-row window in the sorted
-    table and `wsel[w]` is the dx (-1/0/+1) that window row w realizes, or 2
-    if that row is not a neighbor."""
-    base: jax.Array       # [B, 9, V] int32
-    wsel: jax.Array       # [B, 9, V, 3] int8
+    """Sorted-order k=3 subm structure: in_idx[k][o] = the input row at raster
+    offset k = (dz+1)*9 + (dy+1)*3 + (dx+1) of output o (-1 = absent). Same
+    layout as Rulebook.in_idx but dispatched to the custom-VJP subm executor
+    (apply_planar_subm_conv) instead of the checkpointed generic path."""
+    in_idx: jax.Array     # [B, 27, V] int32
+
+
+def _nbidx_from_base_wsel(base: jax.Array, wsel: jax.Array) -> jax.Array:
+    """(base [9, V], wsel [9, V, 3]) -> in_idx [27, V] (-1 = absent): the
+    3-row-window form's row for dx is base + w where wsel[w] == dx."""
+    hit = wsel[:, :, :, None] == (jnp.arange(3, dtype=jnp.int8) - 1)  # [9,V,3w,3dx]
+    off = jnp.argmax(hit, axis=2).astype(jnp.int32)          # [9, V, 3dx]
+    any_ = jnp.any(hit, axis=2)
+    rows = jnp.where(any_, base[:, :, None] + off, -1)
+    return rows.transpose(0, 2, 1).reshape(27, base.shape[1])
 
 
 def sort_by_key(st: SparseTensor) -> tuple[SparseTensor, jax.Array]:
@@ -815,15 +836,15 @@ def _planar_subm_single(coords: jax.Array, spatial_shape):
                          jnp.where(delta == 1, xq < gx - 1, True))
     hit = (jnp.abs(delta) <= 1) & bound_ok
     wsel = jnp.where(hit, delta, 2).astype(jnp.int8)         # [9V, 3]
-    return base.reshape(9, v), wsel.reshape(9, v, 3)
+    return _nbidx_from_base_wsel(base.reshape(9, v), wsel.reshape(9, v, 3))
 
 
 def build_planar_subm_rulebook(st: SparseTensor) -> PlanarRulebook:
     """st.coords MUST already be in ascending key order per sample (use
     sort_by_key once per stage — downsample outputs are already sorted)."""
-    base, wsel = jax.vmap(partial(_planar_subm_single,
-                                  spatial_shape=st.spatial_shape))(st.coords)
-    return PlanarRulebook(base=base, wsel=wsel)
+    in_idx = jax.vmap(partial(_planar_subm_single,
+                              spatial_shape=st.spatial_shape))(st.coords)
+    return PlanarRulebook(in_idx=in_idx)
 
 
 def _base_wsel_from_rows(row_m, row_0, row_p, v: int):
@@ -963,17 +984,16 @@ def _planar_k3_direct_single(coords: jax.Array, spatial_shape):
             fi = order_f[8 - p]
             base_rows.append(base_m[fi])
             wsel_rows.append(wsel_m[fi])
-    return jnp.stack(base_rows), jnp.stack(wsel_rows)
+    return _nbidx_from_base_wsel(jnp.stack(base_rows), jnp.stack(wsel_rows))
 
 
 def build_planar_k3_direct(st: SparseTensor) -> PlanarRulebook:
     """Planar subm structure for k=3 directly from key-sorted coords — the
     production path of build_unet_plans (equivalent to
-    planar_from_k3(build_subm_rulebook(st, 3, assume_sorted=True)) up to
-    don't-care base values in empty planes)."""
-    base, wsel = jax.vmap(partial(_planar_k3_direct_single,
-                                  spatial_shape=st.spatial_shape))(st.coords)
-    return PlanarRulebook(base=base, wsel=wsel)
+    planar_from_k3(build_subm_rulebook(st, 3, assume_sorted=True)))."""
+    in_idx = jax.vmap(partial(_planar_k3_direct_single,
+                              spatial_shape=st.spatial_shape))(st.coords)
+    return PlanarRulebook(in_idx=in_idx)
 
 
 def apply_subm(features: jax.Array, rulebook, weights: jax.Array,
@@ -994,171 +1014,133 @@ def apply_subm(features: jax.Array, rulebook, weights: jax.Array,
                              compute_dtype)
 
 
+
+
 def planar_from_k3(rulebook: Rulebook) -> PlanarRulebook:
-    """Derive the planar structure from a k=3 subm rulebook built over
-    KEY-SORTED coords (the whole pipeline is key-sorted from the voxelizer on).
-
-    In sorted order the present (dx=-1,0,+1) neighbors of a voxel within one
-    (dz,dy) plane occupy consecutive table rows (integer keys: nothing sorts
-    between q-1 and q), so the 3-row window base is just the min present index
-    and wsel falls out of idx - base. This replaces the standalone planar
-    build's [9V,3] key gather + 10V tagged sort (the part that made planar a
-    wash, NOTES_NEXT.md) with O(27V) elementwise ops on top of the k3 build.
-    """
-    in_idx = rulebook.in_idx                    # [B, 27, V]
-    b, k3, v = in_idx.shape
-    assert k3 == 27, k3
-    tri = in_idx.reshape(b, 9, 3, v)            # raster order: dx minor
-    present = tri >= 0
-    big = jnp.where(present, tri, jnp.iinfo(jnp.int32).max)
-    base = jnp.min(big, axis=2)                 # [B, 9, V]
-    base = jnp.clip(jnp.where(base == jnp.iinfo(jnp.int32).max, 0, base),
-                    0, max(v - 3, 0))
-    sels = []
-    for w in range(3):
-        row = base + w
-        sel = jnp.full((b, 9, v), 2, jnp.int8)
-        for dxi in (2, 1, 0):                   # earlier dx wins ties (none occur)
-            m = present[:, :, dxi] & (tri[:, :, dxi] == row)
-            sel = jnp.where(m, jnp.int8(dxi - 1), sel)
-        sels.append(sel)
-    return PlanarRulebook(base=base, wsel=jnp.stack(sels, axis=-1))
+    """The k=3 subm rulebook IS the execution structure (same [B, 27, V]
+    layout); wrapping it re-dispatches execution to the custom-VJP subm path
+    (mirror-symmetry backward instead of the checkpointed generic path whose
+    autodiff would emit scatter-adds)."""
+    assert rulebook.in_idx.shape[1] == 27, rulebook.in_idx.shape
+    return PlanarRulebook(in_idx=rulebook.in_idx)
 
 
-def _center_plane_neighbors(x, sel_p):
-    """The (dz=0, dy=0) plane needs NO window gather: keys are consecutive
-    integers in sorted order, so the dx=-1/+1 neighbors — when present — sit
-    at rows o-1/o+1 exactly. Two row-shifts replace a [V]-slice gather (1/9 of
-    the planar conv's gather cost); presence/boundary info is already encoded
-    in wsel (2 = absent)."""
-    b, v, cin = x.shape
-    pm = jnp.any(sel_p == -1, axis=-1)[..., None]
-    p0 = jnp.any(sel_p == 0, axis=-1)[..., None]
-    pp = jnp.any(sel_p == 1, axis=-1)[..., None]
-    z = jnp.zeros((b, 1, cin), x.dtype)
+# the 24 non-center offsets in 3 gather groups (center plane 12/13/14 uses
+# row shifts instead of gathers — 1/9 of the rows for free)
+_SIDE_OFFS = tuple(k for k in range(27) if k not in (12, 13, 14))
+_SIDE_GROUPS = tuple(_SIDE_OFFS[8 * g:8 * (g + 1)] for g in range(3))
+
+
+def _center_neighbors(x, in_idx):
+    """nb_{12,13,14}(x) [B, 3, V, C] by row shifts: in sorted-key order the
+    center plane's dx = -1/0/+1 neighbors sit at rows u-1/u/u+1 exactly, so
+    two shifts + presence masks (in_idx rows >= 0) replace 3V gathered rows."""
+    b, v, c = x.shape
+    pm = (in_idx[:, 12] >= 0)[..., None]
+    p0 = (in_idx[:, 13] >= 0)[..., None]
+    pp = (in_idx[:, 14] >= 0)[..., None]
+    z = jnp.zeros((b, 1, c), x.dtype)
     xm = jnp.where(pm, jnp.concatenate([z, x[:, :-1]], axis=1), 0)
     x0 = jnp.where(p0, x, 0)
     xp = jnp.where(pp, jnp.concatenate([x[:, 1:], z], axis=1), 0)
-    return jnp.stack([xm, x0, xp], axis=2)                   # [B, V, 3dx, Cin]
+    return jnp.stack([xm, x0, xp], axis=1)                   # [B, 3, V, C]
 
 
-_CENTER_PLANE = 4        # planes are (dz, dy) raster order; index 4 = (0, 0)
+def _group_neighbors(x_padded, in_idx, grp):
+    """nb_k(x) for the 8 offsets of one gather group: ONE take_along_axis of
+    8V rows (row gathers run ~9ns/row vs ~56ns for the retired [3, C]-window
+    dynamic-slice gathers; grouping lets XLA overlap them with the GEMMs)."""
+    b = x_padded.shape[0]
+    v = in_idx.shape[2]
+    c = x_padded.shape[-1]
+    idx = in_idx[:, list(grp)]                               # [B, 8, V]
+    flat = jnp.where(idx >= 0, idx, v).reshape(b, 8 * v)
+    g = jnp.take_along_axis(x_padded, flat[..., None], axis=1)
+    return g.reshape(b, 8, v, c)
 
 
-def _plane_neighbors(x, base_p, sel_p, plane: int):
-    if plane == _CENTER_PLANE:
-        return _center_plane_neighbors(x, sel_p)
-    return _planar_neighbors(x, base_p, sel_p)
+_DN_GEMM = (((1, 3), (0, 1)), ((), ()))     # [B,G,V,Ci] x [G,Ci,Co] -> [B,V,Co]
+_DN_DW = (((0, 2), (0, 1)), ((), ()))       # [B,G,V,Co] x [B,V,Ci] -> [G,Co,Ci]
 
 
-def _planar_neighbors(x, base_p, sel_p):
-    """One plane's [B, V, 3dx, Cin] neighbor tensor: window gather + masked
-    distribution of window rows onto their dx slots."""
+def _subm_apply(x, w27, in_idx, out_mask, out_dtype):
+    """Forward body: x [B,V,Cin] (compute dtype), w27 [27,Cin,Cout]."""
     b, v, cin = x.shape
-
-    def slice_windows(xs, starts):                           # [V,C], [V]
-        return jax.vmap(
-            lambda s: jax.lax.dynamic_slice(xs, (s, 0), (3, cin)))(starts)
-
-    g = jax.vmap(slice_windows)(x, base_p)                   # [B, V, 3, Cin]
-    # each window row contributes to at most one dx slot; explicit masked adds
-    # (9 VPU multiply-adds on [B,V,Cin]) rather than a per-voxel 3x3 einsum,
-    # which XLA lowers badly
-    nb = [jnp.zeros((b, v, cin), x.dtype)] * 3
-    for wi in range(3):
-        gw = g[:, :, wi]
-        for dxi in range(3):
-            m = (sel_p[:, :, wi] == dxi - 1)[..., None]
-            nb[dxi] = nb[dxi] + jnp.where(m, gw, 0)
-    return jnp.stack(nb, axis=2)                             # [B, V, 3dx, Cin]
-
-
-def _planar_apply(x, w9, base, wsel, out_mask, out_dtype):
-    """Forward body: x [B,V,Cin] (compute dtype), w9 [9,3,Cin,Cout]."""
-    b, v, cin = x.shape
-    cout = w9.shape[-1]
-    acc = jnp.zeros((b, v, cout), dtype=jnp.float32)
-    for p in range(9):
-        nb = _plane_neighbors(x, base[:, p], wsel[:, p], p)
+    xp = jnp.concatenate([x, jnp.zeros((b, 1, cin), x.dtype)], axis=1)
+    ctr = _center_neighbors(x, in_idx)
+    acc = jax.lax.dot_general(ctr, w27[12:15], dimension_numbers=_DN_GEMM,
+                              preferred_element_type=jnp.float32)
+    for grp in _SIDE_GROUPS:
+        g = _group_neighbors(xp, in_idx, grp)
         acc = acc + jax.lax.dot_general(
-            nb.reshape(b, v, 3 * cin), w9[p].reshape(3 * cin, cout),
-            dimension_numbers=(((2,), (0,)), ((), ())),
+            g, w27[np.asarray(grp)], dimension_numbers=_DN_GEMM,
             preferred_element_type=jnp.float32)
     out = acc.astype(out_dtype)
     return jnp.where(out_mask[..., None], out, 0)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _planar_conv_vjp(compute_dtype, features, weights, base, wsel, out_mask):
-    x = features if compute_dtype is None else features.astype(compute_dtype)
-    w = weights if compute_dtype is None else weights.astype(compute_dtype)
-    cin, cout = weights.shape[1], weights.shape[2]
-    return _planar_apply(x, w.reshape(9, 3, cin, cout), base, wsel, out_mask,
-                         features.dtype)
-
-
-def _planar_conv_fwd(compute_dtype, features, weights, base, wsel, out_mask):
-    y = _planar_conv_vjp(compute_dtype, features, weights, base, wsel, out_mask)
-    return y, (features, weights, base, wsel, out_mask)
-
-
-def _planar_conv_bwd(compute_dtype, res, dout):
-    """Hand-written backward. XLA's transpose of the vmapped window
-    dynamic-slice is a SERIAL dynamic-update-slice while-loop (~300ms per conv
-    on the Waymo-scale train step); instead:
-
-      dx = planar conv of dout with mirrored+transposed weights — the subm
-           neighbor relation is symmetric (o reads u at offset k <=> u reads o
-           at offset -k), so the SAME planar rulebook serves the transpose
-           with W'[k] = W[26-k]^T;
-      dw REUSES the dx pass's neighbor tensors via the same symmetry:
-           dW[p, d] = sum_v nb_{p,d}(x)[v] (x) g[v]
-                    = sum_j x[j] (x) nb_{mirror(p), -d}(g)[j],
-           so ONLY g is ever gathered in the backward. (An earlier version
-           gathered concat([x, g]) to feed dw from nb(x); window gathers
-           turned out byte-bound at these widths, so halving the gathered
-           bytes — and dropping the concat copy — nearly halves the backward's
-           gather time.)
-    """
-    features, weights, base, wsel, out_mask = res
-    b, v, cin = features.shape
-    cout = weights.shape[-1]
+def _subm_conv_vjp(compute_dtype, features, weights, in_idx, out_mask):
     cd = compute_dtype
     x = features if cd is None else features.astype(cd)
+    w = weights if cd is None else weights.astype(cd)
+    return _subm_apply(x, w, in_idx, out_mask, features.dtype)
+
+
+def _subm_conv_fwd(compute_dtype, features, weights, in_idx, out_mask):
+    y = _subm_conv_vjp(compute_dtype, features, weights, in_idx, out_mask)
+    return y, (features, weights, in_idx, out_mask)
+
+
+def _subm_conv_bwd(compute_dtype, res, dout):
+    """Hand-written transpose via the subm symmetry (o reads u at offset k <=>
+    u reads o at offset 26-k), so the SAME rulebook serves the backward:
+
+      dx[u] = sum_k nb_k(g)[u] @ W[26-k]^T      (mirrored gather-GEMM)
+      dW[26-k] = sum_u x[u] (x) nb_k(g)[u]      (reuses the dx pass's nb(g))
+
+    ONE gather of the cotangent per offset group — x is never gathered and
+    nothing scatters (XLA's autodiff of the forward gather would emit a
+    serialized scatter-add)."""
+    features, weights, in_idx, out_mask = res
+    cd = compute_dtype
+    x = features if cd is None else features.astype(cd)
+    w = weights if cd is None else weights.astype(cd)
+    b, v, cin = x.shape
+    cout = w.shape[-1]
     g0 = jnp.where(out_mask[..., None], dout, 0)
     g = g0 if cd is None else g0.astype(cd)
+    gp = jnp.concatenate([g, jnp.zeros((b, 1, cout), g.dtype)], axis=1)
 
-    # dx: mirrored conv. weights raster k = (dz+1)*9+(dy+1)*3+(dx+1); mirror
-    # is 26-k = full reversal; channel axes swap for the transpose.
-    w_mirror = weights[::-1].swapaxes(1, 2)                  # [27, Cout, Cin]
-    wm = (w_mirror if cd is None else w_mirror.astype(cd)) \
-        .reshape(9, 3, cout, cin)
+    dws = [None] * 27
+    # center plane: nb_{12,13,14}(g) by row shifts; mirror of k is 26-k
+    ctr_g = _center_neighbors(g, in_idx)                     # [B,3,V,Co]
+    wm_ctr = jnp.stack([w[14], w[13], w[12]]).swapaxes(1, 2)  # [3,Co,Ci]
+    acc_dx = jax.lax.dot_general(ctr_g, wm_ctr, dimension_numbers=_DN_GEMM,
+                                 preferred_element_type=jnp.float32)
+    dw_ctr = jax.lax.dot_general(ctr_g, x, dimension_numbers=_DN_DW,
+                                 preferred_element_type=jnp.float32)
+    for j, k in enumerate((12, 13, 14)):
+        dws[26 - k] = dw_ctr[j].swapaxes(0, 1)               # [Ci, Co]
 
-    acc_dx = jnp.zeros((b, v, cin), jnp.float32)
-    dws = [None] * 9
-    for p in range(9):
-        nb_g = _plane_neighbors(g, base[:, p], wsel[:, p], p)  # [B,V,3,Cout]
+    for grp in _SIDE_GROUPS:
+        nb_g = _group_neighbors(gp, in_idx, grp)             # [B,8,V,Co]
+        wm = jnp.stack([w[26 - k] for k in grp]).swapaxes(1, 2)
         acc_dx = acc_dx + jax.lax.dot_general(
-            nb_g.reshape(b, v, 3 * cout), wm[p].reshape(3 * cout, cin),
-            dimension_numbers=(((2,), (0,)), ((), ())),
+            nb_g, wm, dimension_numbers=_DN_GEMM,
             preferred_element_type=jnp.float32)
-        # dW for the MIRROR plane: contract x against nb_g over (batch,
-        # voxel); dx-slot s of plane 8-p pairs with slot 2-s of plane p
-        dw_m = jax.lax.dot_general(
-            x, nb_g[:, :, ::-1, :],
-            dimension_numbers=(((0, 1), (0, 1)), ((), ())),
-            preferred_element_type=jnp.float32)              # [Cin, 3, Cout]
-        dws[8 - p] = dw_m.swapaxes(0, 1)                     # [3, Cin, Cout]
+        dwp = jax.lax.dot_general(nb_g, x, dimension_numbers=_DN_DW,
+                                  preferred_element_type=jnp.float32)
+        for j, k in enumerate(grp):
+            dws[26 - k] = dwp[j].swapaxes(0, 1)
     dx = jnp.where(out_mask[..., None], acc_dx.astype(features.dtype), 0)
-    dw = jnp.concatenate(dws, axis=0).astype(weights.dtype)  # [27, Cin, Cout]
-
-    zb = np.zeros(base.shape, dtype=jax.dtypes.float0)
-    zs = np.zeros(wsel.shape, dtype=jax.dtypes.float0)
+    dw = jnp.stack(dws).astype(weights.dtype)                # [27, Cin, Cout]
+    zi = np.zeros(in_idx.shape, dtype=jax.dtypes.float0)
     zm = np.zeros(out_mask.shape, dtype=jax.dtypes.float0)
-    return dx, dw, zb, zs, zm
+    return dx, dw, zi, zm
 
 
-_planar_conv_vjp.defvjp(_planar_conv_fwd, _planar_conv_bwd)
+_subm_conv_vjp.defvjp(_subm_conv_fwd, _subm_conv_bwd)
 
 
 def apply_planar_subm_conv(features: jax.Array, rulebook: PlanarRulebook,
@@ -1166,8 +1148,7 @@ def apply_planar_subm_conv(features: jax.Array, rulebook: PlanarRulebook,
                            compute_dtype=None) -> jax.Array:
     """features [B, V, Cin] in sorted-key order, weights [27, Cin, Cout] in
     raster (dz, dy, dx) order -> [B, V, Cout] in the same sorted order.
-    Exactly equivalent to apply_sparse_conv with the k=3 subm rulebook.
-    Carries a custom VJP (see _planar_conv_bwd)."""
+    Exactly equivalent to apply_sparse_conv with the k=3 subm rulebook; carries
+    the mirror-symmetry custom VJP (see _subm_conv_bwd)."""
     cd = None if compute_dtype is None else jnp.dtype(compute_dtype)
-    return _planar_conv_vjp(cd, features, weights, rulebook.base,
-                            rulebook.wsel, out_mask)
+    return _subm_conv_vjp(cd, features, weights, rulebook.in_idx, out_mask)

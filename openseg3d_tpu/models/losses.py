@@ -55,7 +55,8 @@ def ohem_ce_loss(logits, labels, ignore_index: int = 255,
     if keep_ratio is not None:
         n_valid = jnp.sum(valid)
         kept_count = (n_valid.astype(jnp.float32) * keep_ratio).astype(jnp.int32)
-        sorted_losses = jnp.sort(jnp.where(valid, losses, -jnp.inf), descending=True)
+        sorted_losses = jnp.sort(jnp.where(valid, losses, -jnp.inf),
+                                 descending=True, stable=False)
         keep = jnp.arange(losses.shape[0]) < kept_count
         kept = jnp.where(keep, sorted_losses, 0.0)
         return jnp.sum(kept) / jnp.maximum(kept_count, 1)
@@ -82,8 +83,11 @@ def _lovasz_dot_impl(errors, fgf, validf):
     # ascending sort by -errors == descending by errors; invalid rows carry
     # +inf keys so they sort last
     neg = jnp.where(validf > 0, -errors, jnp.inf)
+    # unstable: any order of equal errors yields a valid Lovasz subgradient,
+    # and stable lax.sort adds a hidden iota tiebreak column
     neg_s, fg_s, val_s, idx_s = jax.lax.sort((neg, fgf, validf, iota),
-                                             num_keys=1, dimension=-1)
+                                             num_keys=1, dimension=-1,
+                                             is_stable=False)
     errors_sorted = jnp.where(jnp.isfinite(neg_s), -neg_s, 0.0)
 
     gts = jnp.sum(fgf, axis=-1, keepdims=True)
@@ -116,7 +120,8 @@ def _lovasz_dot_bwd(res, g):
     rewrite removes."""
     errors_sorted, w, idx_s = res
     d_sorted = jnp.where(errors_sorted > 0, w, 0.0) * g[:, None]
-    _, d_err = jax.lax.sort((idx_s, d_sorted), num_keys=1, dimension=-1)
+    _, d_err = jax.lax.sort((idx_s, d_sorted), num_keys=1, dimension=-1,
+                            is_stable=False)
     return d_err, jnp.zeros_like(d_err), jnp.zeros_like(d_err)
 
 

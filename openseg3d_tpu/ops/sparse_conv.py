@@ -127,7 +127,9 @@ def sort_match(keys: jax.Array, queries: jax.Array) -> jax.Array:
     vals = jnp.concatenate([kv, qv])
     pay = jnp.concatenate([jnp.arange(nk, dtype=jnp.int32),
                            nk + jnp.arange(nq, dtype=jnp.int32)])
-    sv, sp = jax.lax.sort([vals, pay], num_keys=1)
+    # unstable: tagged values are distinct (sentinel ties all discarded), and
+    # stable lax.sort pays a hidden iota tiebreak column (~33% on TPU)
+    sv, sp = jax.lax.sort([vals, pay], num_keys=1, is_stable=False)
 
     pos = jnp.arange(n, dtype=jnp.int32)
     is_key = ((sv & 1) == 0) & (sv != INT32_SENTINEL)
@@ -176,7 +178,9 @@ def _subm_rulebook_k3(coords: jax.Array, spatial_shape,
         # downsample output order) — skip the identity argsort
         order, ks = arange_v, keys
     else:
-        order = jnp.argsort(keys).astype(jnp.int32)
+        # unstable: keys unique among valid rows; sentinel-tail tie order is
+        # irrelevant (all padding)
+        order = jnp.argsort(keys, stable=False).astype(jnp.int32)
         ks = keys[order]
 
     def match_full(q):
@@ -186,7 +190,7 @@ def _subm_rulebook_k3(coords: jax.Array, spatial_shape,
         kv = jnp.where(ks == INT32_SENTINEL, INT32_SENTINEL, ks * 2)
         vals = jnp.concatenate([kv, qv])
         pay = jnp.concatenate([arange_v, v + jnp.arange(m, dtype=jnp.int32)])
-        sv, sp = jax.lax.sort([vals, pay], num_keys=1)
+        sv, sp = jax.lax.sort([vals, pay], num_keys=1, is_stable=False)
         is_key = ((sv & 1) == 0) & (sv != INT32_SENTINEL)
         ranks = jnp.cumsum(is_key)                       # keys <= value so far
         # rank per query, back in query order
@@ -352,7 +356,11 @@ def _downsample_single(coords: jax.Array, spatial_shape, out_shape,
     vv_flat = arange_cv % v
     cc_flat = arange_cv // v
     payload = (koff << (vbits + cbits)) | (cc_flat << vbits) | vv_flat
-    s, sp = jax.lax.sort([flat_keys, payload], num_keys=1)
+    # unstable: every post-sort consumer (rank cumsum, out_keys / rank_cv /
+    # rule scatters) has unique targets independent of tie order, and a stable
+    # sort carries a hidden iota tiebreak column (measured 23.1 -> 15.6ms for
+    # the stage-2 8V sort)
+    s, sp = jax.lax.sort([flat_keys, payload], num_keys=1, is_stable=False)
     kk = sp >> (vbits + cbits)
     cc = (sp >> vbits) & ((1 << cbits) - 1)
 
@@ -781,7 +789,7 @@ def sort_by_key(st: SparseTensor) -> tuple[SparseTensor, jax.Array]:
     ``unsort_by_order(y, order)``."""
     keys = jax.vmap(lambda c: linearize(c, st.spatial_shape,
                                         valid=c[..., 0] >= 0))(st.coords)
-    order = jnp.argsort(keys, axis=-1).astype(jnp.int32)
+    order = jnp.argsort(keys, axis=-1, stable=False).astype(jnp.int32)
     coords = jnp.take_along_axis(st.coords, order[..., None], axis=1)
     feats = jnp.take_along_axis(st.features, order[..., None], axis=1) \
         if st.features.ndim == 3 else st.features
@@ -817,7 +825,7 @@ def _planar_subm_single(coords: jax.Array, spatial_shape):
     vals = jnp.concatenate([kv, qv])
     pay = jnp.concatenate([jnp.arange(v, dtype=jnp.int32),
                            v + jnp.arange(m, dtype=jnp.int32)])
-    sv, sp = jax.lax.sort([vals, pay], num_keys=1)
+    sv, sp = jax.lax.sort([vals, pay], num_keys=1, is_stable=False)
     ranks = jnp.cumsum(((sv & 1) == 0) & (sv != INT32_SENTINEL))  # keys <= here
     is_q = sp >= v
     qtgt = jnp.where(is_q, sp - v, m)
@@ -902,7 +910,9 @@ def _planar_k3_direct_single(coords: jax.Array, spatial_shape):
                     for c in cs])                             # [4, V]
     merged = jnp.concatenate(
         [jnp.broadcast_to(kv, (4, v)), qv], axis=1)           # [4, 2V]
-    sv = jax.lax.sort(merged, dimension=-1)
+    # unstable: values are distinct per row (tag bit separates key/query
+    # streams); stable would add a hidden iota column to the sort
+    sv = jax.lax.sort(merged, dimension=-1, is_stable=False)
     ok_e = sv != INT32_SENTINEL
     is_key = ((sv & 1) == 0) & ok_e
     is_q = ((sv & 1) == 1) & ok_e

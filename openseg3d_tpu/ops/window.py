@@ -128,7 +128,10 @@ class _SortedStructure(NamedTuple):
 def _sorted_structure(win_id, valid) -> _SortedStructure:
     v = win_id.shape[0]
     key = jnp.where(valid, win_id, INT32_MAX)
-    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    # unstable: in-window voxel order is semantically arbitrary (the reference
+    # uses nondeterministic atomics here); the fixed sorting network keeps
+    # run-to-run determinism, and stable would pay a hidden iota column
+    order = jnp.argsort(key, stable=False).astype(jnp.int32)
     sk = key[order]
     is_new = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
     # the ONE scatter per shift: every sorted->original back-permutation

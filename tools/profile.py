@@ -39,7 +39,8 @@ def _parse_hlo_metadata(hlo_path: str) -> dict:
     return meta
 
 
-def analyze(trace_dir: str, top: int = 30, hlo_path: str = '') -> None:
+def analyze(trace_dir: str, top: int = 30, hlo_path: str = '',
+            fallback_steps: int = 0) -> None:
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     files = glob.glob(trace_dir + '/**/*.xplane.pb', recursive=True)
@@ -90,7 +91,9 @@ def analyze(trace_dir: str, top: int = 30, hlo_path: str = '') -> None:
     bagg = defaultdict(float)
     for k, v in agg.items():
         bagg[bucket(k)] += v
-    steps = max(n_steps, 1)
+    # some traces carry no 'Steps' line (un-annotated jit loops); fall back to
+    # the step count the caller actually ran
+    steps = max(n_steps, fallback_steps, 1)
     print(f'total attributed device ms: {total:.1f} over {n_steps} steps '
           f'= {total / steps:.1f} ms/step '
           f'(async DMA in flight, overlapped: {async_total / steps:.1f} ms/step)')
@@ -139,7 +142,7 @@ def main():
     args = ap.parse_args()
 
     if args.analyze_only:
-        analyze(args.trace_dir, hlo_path=args.hlo)
+        analyze(args.trace_dir, hlo_path=args.hlo, fallback_steps=args.steps)
         return
 
     os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_bench_cache')
@@ -212,7 +215,7 @@ def main():
     wall = time.time() - t0
     print(f'{args.steps} traced steps: {wall:.1f}s '
           f'(tracing inflates wall time; use op attribution below)', flush=True)
-    analyze(args.trace_dir, hlo_path=args.hlo)
+    analyze(args.trace_dir, hlo_path=args.hlo, fallback_steps=args.steps)
 
 
 if __name__ == '__main__':

@@ -279,6 +279,31 @@ def test_planar_subm_matches_gather_gemm():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("cin,cout", [(8, 8), (6, 8)])
+def test_planar_subm_matches_gather_gemm_expanding(cin, cout):
+    """Cout >= Cin keeps the gather-first execution (gathering Ci rows is
+    cheaper there); it must stay equivalent after the Cout < Cin pretransform
+    split (sparse_conv.py:_subm_apply_pre)."""
+    from openseg3d_tpu.ops.sparse_conv import (
+        sort_by_key, unsort_by_order, build_planar_subm_rulebook,
+        apply_planar_subm_conv)
+    rng = np.random.RandomState(19)
+    st = make_sparse(rng, b=2, v_cap=128, n_active=100, shape=(9, 7, 5), c=cin)
+    w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+
+    ref = apply_sparse_conv(st.features, build_subm_rulebook(st, 3), w, st.mask)
+
+    @jax.jit
+    def planar(st):
+        sst, order = sort_by_key(st)
+        prb = build_planar_subm_rulebook(sst)
+        y = apply_planar_subm_conv(sst.features, prb, w, sst.mask)
+        return unsort_by_order(y, order)
+
+    np.testing.assert_allclose(np.asarray(planar(st)), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_planar_subm_all_padding():
     from openseg3d_tpu.ops.sparse_conv import (
         sort_by_key, build_planar_subm_rulebook, apply_planar_subm_conv)

@@ -136,6 +136,12 @@ class WindowAttention(nn.Module):
         offs = level_offsets(self.levels)
         pack = jnp.concatenate([q, k, val], axis=-1)          # [B, V, 3C]
         big = permute_rows(pack, inv_idx, comb)               # [B, S, 3C]
+        # named so the remat policy can SAVE the windowed q|k|v buffer: it is
+        # both the most expensive recompute in the layer body (an [S, 3C]
+        # row-gather) and the residual of the attention kernel's custom VJP,
+        # so saving it lets the backward skip the in_proj/l2norm/permute chain
+        from jax.ad_checkpoint import checkpoint_name
+        big = checkpoint_name(big, 'attn_pack')
         if train:
             # per-level int32 seeds for the in-kernel attention dropout
             seeds = jax.random.randint(self.make_rng('dropout'),
@@ -295,7 +301,7 @@ class SWFormerBlock(nn.Module):
             Scan = nn.scan(
                 nn.remat(EncoderLayer, static_argnums=(),
                          policy=jax.checkpoint_policies.save_only_these_names(
-                             'attn_core')),
+                             'attn_core', 'attn_pack')),
                 variable_axes={'params': 0},
                 split_rngs={'params': True, 'dropout': True},
                 in_axes=((nn.broadcast, nn.broadcast, 0),),

@@ -131,6 +131,7 @@ def main():
     ap.add_argument('--steps', type=int, default=2)
     ap.add_argument('--segmentor', default='segformer')
     ap.add_argument('--trace_dir', default='/tmp/openseg3d_xplane')
+    ap.add_argument('--top', type=int, default=30)
     ap.add_argument('--analyze_only', action='store_true',
                     help='just re-parse an existing trace directory')
     ap.add_argument('--hlo', default='',
@@ -142,7 +143,7 @@ def main():
     args = ap.parse_args()
 
     if args.analyze_only:
-        analyze(args.trace_dir, hlo_path=args.hlo, fallback_steps=args.steps)
+        analyze(args.trace_dir, top=args.top, hlo_path=args.hlo, fallback_steps=args.steps)
         return
 
     os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_bench_cache')

@@ -85,7 +85,7 @@ def main():
                          'override, for capacity-cost bisection')
     args = ap.parse_args()
 
-    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_bench_cache')
+    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/repo/.jax_cache')
     import jax
     import jax.numpy as jnp
     jax.config.update('jax_compilation_cache_dir',

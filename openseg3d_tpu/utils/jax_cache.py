@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-DEFAULT_CACHE_DIR = '/tmp/jax_bench_cache'
+DEFAULT_CACHE_DIR = '/root/repo/.jax_cache'
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> None:

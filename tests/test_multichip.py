@@ -8,7 +8,7 @@ dryrun_multichip contract and the TPU-world replacement for the distributed
 tests the reference lacks entirely (SURVEY.md §4).
 
 These compile the full tiny segformer on a 1-core host (~4-8 min cold,
-seconds warm via the shared /tmp/jax_cpu8_cache); run this file on its own.
+seconds warm via the shared .jax_cache_cpu8); run this file on its own.
 """
 
 import os
@@ -28,7 +28,7 @@ def _run_cpu8(code: str, timeout: int = 2400):
     env['XLA_FLAGS'] = ('--xla_force_host_platform_device_count=8 '
                         '--xla_cpu_collective_call_warn_stuck_timeout_seconds=300 '
                         '--xla_cpu_collective_call_terminate_timeout_seconds=1200')
-    env['JAX_COMPILATION_CACHE_DIR'] = '/tmp/jax_cpu8_cache'
+    env['JAX_COMPILATION_CACHE_DIR'] = '/root/repo/.jax_cache_cpu8'
     return subprocess.run([sys.executable, '-c', code], env=env, cwd=REPO,
                           capture_output=True, text=True, timeout=timeout)
 
@@ -44,7 +44,7 @@ def test_dryrun_multichip_8():
 _SHARDED_EQUIV = r"""
 import numpy as np
 import jax
-cache = '/tmp/jax_cpu8_cache'
+cache = '/root/repo/.jax_cache_cpu8'
 jax.config.update('jax_compilation_cache_dir', cache)
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 2)

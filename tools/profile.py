@@ -146,7 +146,7 @@ def main():
         analyze(args.trace_dir, top=args.top, hlo_path=args.hlo, fallback_steps=args.steps)
         return
 
-    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_bench_cache')
+    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/repo/.jax_cache')
     import jax
     import jax.numpy as jnp
     jax.config.update('jax_compilation_cache_dir',

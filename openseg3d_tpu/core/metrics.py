@@ -60,14 +60,21 @@ class IOUMetric:
 
     def get_metric(self) -> dict:
         hist = self.hist
-        try:
-            import jax
-            if jax.process_count() > 1:
+        import jax
+        if jax.process_count() > 1:
+            # A failed collective here must be LOUD: silently degrading to the
+            # local histogram reports a wrong (per-host) mIoU as if it were
+            # global — the reference's bare-except flaw (iou_metric.py:67-73)
+            # that SURVEY §5 flags; we deliberately do not reproduce it.
+            try:
                 from jax.experimental import multihost_utils
                 hist = np.asarray(
                     multihost_utils.process_allgather(hist.astype(np.int64))).sum(axis=0)
-        except Exception:
-            pass
+            except Exception as e:
+                import logging
+                logging.getLogger('openseg3d_tpu').error(
+                    'multi-host IoU histogram allgather failed: %s', e)
+                raise
         iou = per_class_iou(hist)
         metric = {'mIOU': float(np.nanmean(iou)),
                   'IOU': {n: float(iou[i]) for i, n in enumerate(self.class_names)}}

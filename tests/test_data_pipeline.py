@@ -207,3 +207,71 @@ def test_loader_inline(tmp_path):
     batches = list(loader)
     assert len(batches) == 2
     assert batches[0]['points'].shape == (2, 1024, 6)
+
+
+def test_parser_to_dataset_testing_contract(tmp_path, monkeypatch):
+    """Integration fixture for the parser->dataset contract
+    (reference tools/waymo_parser.py:212-288 + waymo_dataset.py:145-211):
+    one synthetic frame in the parser's exact output layout (15-dim lidar npy,
+    [N,2] label npy, pose txt, 3d_semseg_test_set_frames.txt), loaded in
+    testing mode; points_ri must ride through padding into
+    construct_seg_frame unchanged."""
+    import zlib
+    from openseg3d_tpu.data.batch import collate_padded
+    from openseg3d_tpu.utils.submission import construct_seg_frame
+    from test_tools_and_utils import _install_wod_stub
+
+    root = str(tmp_path)
+    rng = np.random.RandomState(7)
+    for sub in ('lidar', 'label', 'pose'):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    n = 300
+    name = 'ctxA-1650000000000123-0'
+    pts = np.zeros((n, 15), np.float32)
+    pts[:, :3] = rng.uniform(-3, 3, (n, 3))
+    pts[:, 2] = rng.uniform(-0.7, 0.7, n)
+    pts[:, 3] = np.linalg.norm(pts[:, :3], axis=1)   # range
+    pts[:, 4] = rng.uniform(0, 2, n)                 # intensity
+    pts[:, 5] = rng.uniform(0, 1, n)                 # elongation
+    pts[:, 12] = rng.randint(0, 2650, n)             # ri col
+    pts[:, 13] = rng.randint(0, 64, n)               # ri row
+    pts[:, 14] = rng.randint(0, 2, n)                # return index
+    np.save(os.path.join(root, 'lidar', name + '.npy'), pts)
+    lbl = np.zeros((n, 2), np.int64)
+    lbl[:, 1] = rng.randint(1, 23, n)
+    np.save(os.path.join(root, 'label', name + '.npy'), lbl)
+    np.savetxt(os.path.join(root, 'pose', name + '.txt'), np.eye(4))
+    # a second frame NOT in the test-set list must be filtered out
+    name2 = 'ctxB-1650000000000999-0'
+    np.save(os.path.join(root, 'lidar', name2 + '.npy'), pts)
+    np.savetxt(os.path.join(root, 'pose', name2 + '.txt'), np.eye(4))
+    with open(os.path.join(root, '3d_semseg_test_set_frames.txt'), 'w') as fp:
+        fp.write('ctxA,1650000000000123,extra\n')
+
+    cfg = tiny_cfg()
+    ds = WaymoDataset(cfg, root, mode='testing')
+    assert len(ds) == 1  # frame-list filter applied
+    raw = ds[0]
+    assert 'point_labels' not in raw
+    np.testing.assert_array_equal(raw['points_ri'], pts[:, 12:15].astype(np.int32))
+
+    batch = collate_padded([ds.pad(raw)])
+    assert batch['points'].shape == (1, 1024, 6)
+    assert batch['points_ri'].shape == (1, 1024, 3)
+    mask = np.asarray(batch['point_mask'][0], bool)
+    assert mask.sum() == n
+    ri = np.asarray(batch['points_ri'][0])[mask]
+    np.testing.assert_array_equal(ri, pts[:, 12:15].astype(np.int32))
+
+    pickle_mod = _install_wod_stub(monkeypatch)
+    file_idx, _, ts = ds.parse_filename(raw['filename'])
+    preds = rng.randint(0, 22, n)
+    frame = construct_seg_frame(preds, ri, context_name=file_idx, timestamp=ts)
+    assert frame.context_name == 'ctxA'
+    assert frame.frame_timestamp_micros == 1650000000000123
+    dims, data = pickle_mod.loads(zlib.decompress(
+        frame.segmentation_labels[0].ri_return1.segmentation_label_compressed))
+    arr = np.array(data).reshape(dims)
+    # every return-0 label landed (seeded RNG: no duplicate cells)
+    r0 = pts[:, 14] == 0
+    assert arr[:, :, 1].sum() == (preds[r0] + 1).sum()

@@ -41,6 +41,137 @@ def test_range_image_assembly():
     assert r0.sum() == 3 and r1.sum() == 6  # invalid point dropped
 
 
+def _install_wod_stub(monkeypatch):
+    """Minimal waymo_open_dataset stand-in that mimics proto semantics for the
+    exact API surface the reference uses (submission.py:8-77): repeated fields
+    support append/extend only, message fields support CopyFrom, and scalar
+    assignment type-checks ints/strs/bytes."""
+    import pickle
+    import sys
+    import types
+
+    class Repeated(list):
+        pass  # append/extend from list; no CopyFrom — like real repeated fields
+
+    class Shape:
+        def __init__(self):
+            self.dims = Repeated()
+
+    class Matrix:
+        def __init__(self):
+            self.shape = Shape()
+            self.data = Repeated()
+
+        def SerializeToString(self):
+            return pickle.dumps((list(self.shape.dims), list(self.data)))
+
+    class RiReturn:
+        def __init__(self):
+            self.segmentation_label_compressed = b''
+
+    class Laser:
+        def __init__(self):
+            self.name = 0
+            self.ri_return1 = RiReturn()
+            self.ri_return2 = RiReturn()
+
+    class LaserName:
+        TOP = 1
+
+    class SegmentationFrame:
+        def __init__(self):
+            self.context_name = ''
+            self.frame_timestamp_micros = 0
+            self.segmentation_labels = Repeated()
+
+    class SegmentationFrameList:
+        def __init__(self):
+            self.frames = Repeated()
+
+    class _InferenceResults(SegmentationFrameList):
+        def CopyFrom(self, other):
+            self.frames = Repeated(other.frames)
+
+    class SemanticSegmentationSubmission:
+        def __init__(self):
+            self.account_name = ''
+            self.unique_method_name = ''
+            self.description = ''
+            self.affiliation = ''
+            self.sensor_type = 0
+            self.number_past_frames_exclude_current = 0
+            self.number_future_frames_exclude_current = 0
+            self.inference_results = _InferenceResults()
+
+        def SerializeToString(self):
+            frames = [(f.context_name, f.frame_timestamp_micros,
+                       [(l.name, l.ri_return1.segmentation_label_compressed,
+                         l.ri_return2.segmentation_label_compressed)
+                        for l in f.segmentation_labels])
+                      for f in self.inference_results.frames]
+            return pickle.dumps((self.unique_method_name, frames))
+
+    wod = types.ModuleType('waymo_open_dataset')
+    dataset_pb2 = types.ModuleType('waymo_open_dataset.dataset_pb2')
+    dataset_pb2.MatrixInt32 = Matrix
+    dataset_pb2.MatrixFloat = Matrix
+    dataset_pb2.Laser = Laser
+    dataset_pb2.LaserName = LaserName
+    protos = types.ModuleType('waymo_open_dataset.protos')
+    seg_metrics = types.ModuleType(
+        'waymo_open_dataset.protos.segmentation_metrics_pb2')
+    seg_metrics.SegmentationFrame = SegmentationFrame
+    seg_metrics.SegmentationFrameList = SegmentationFrameList
+    seg_sub = types.ModuleType(
+        'waymo_open_dataset.protos.segmentation_submission_pb2')
+    seg_sub.SemanticSegmentationSubmission = SemanticSegmentationSubmission
+    wod.dataset_pb2 = dataset_pb2
+    wod.protos = protos
+    protos.segmentation_metrics_pb2 = seg_metrics
+    protos.segmentation_submission_pb2 = seg_sub
+    for name, mod in [('waymo_open_dataset', wod),
+                      ('waymo_open_dataset.dataset_pb2', dataset_pb2),
+                      ('waymo_open_dataset.protos', protos),
+                      ('waymo_open_dataset.protos.segmentation_metrics_pb2', seg_metrics),
+                      ('waymo_open_dataset.protos.segmentation_submission_pb2', seg_sub)]:
+        monkeypatch.setitem(sys.modules, name, mod)
+    return pickle
+
+
+def test_submission_proto_path(tmp_path, monkeypatch):
+    """End-to-end proto packing against the stub: reference schema
+    (Laser + ri_return{1,2}.segmentation_label_compressed + append)."""
+    import zlib
+
+    pickle = _install_wod_stub(monkeypatch)
+    from openseg3d_tpu.utils.submission import (construct_seg_frame,
+                                                write_submission_file)
+
+    preds = np.array([2, 5, 7])
+    ri = np.array([[10, 3, 0], [100, 20, 1], [5, 5, 0]])
+    frame = construct_seg_frame(preds, ri, context_name='ctx123',
+                                timestamp=1650000000000001)
+    assert frame.context_name == 'ctx123'
+    assert frame.frame_timestamp_micros == 1650000000000001
+    assert len(frame.segmentation_labels) == 1
+    laser = frame.segmentation_labels[0]
+    assert laser.name == 1  # LaserName.TOP
+    dims, data = pickle.loads(
+        zlib.decompress(laser.ri_return1.segmentation_label_compressed))
+    assert dims == [64, 2650, 2]
+    arr = np.array(data).reshape(64, 2650, 2)
+    assert arr[3, 10, 1] == 3 and arr[5, 5, 1] == 8 and arr.sum() == 11
+    dims2, data2 = pickle.loads(
+        zlib.decompress(laser.ri_return2.segmentation_label_compressed))
+    assert np.array(data2).reshape(64, 2650, 2)[20, 100, 1] == 6
+
+    path = write_submission_file([frame], str(tmp_path), account='a@b.c',
+                                 method_name='meth')
+    method, frames = pickle.loads(open(path, 'rb').read())
+    assert method == 'meth' and len(frames) == 1
+    assert frames[0][0] == 'ctx123' and len(frames[0][2]) == 1
+
+
 def test_pcd_writer(tmp_path):
     xyz = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
     rgb = np.array([[255, 0, 0], [0, 255, 0]])

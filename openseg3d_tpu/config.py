@@ -120,33 +120,28 @@ def default_config() -> ConfigDict:
     c.MODEL.OHEM_KEEP_RATIO = 0.3
     c.MODEL.OHEM_KEEP_THRESH = 0.7
     c.MODEL.AUX_LOSS_WEIGHT = 0.4
-    # Window-occupancy bucket tables, one per backbone stage
-    # (reference seg3d/utils/config.py:42-67).
+    # Window-occupancy bucket tables, one per backbone stage. Same schema as
+    # the reference (seg3d/utils/config.py:42-67) but refined to power-of-2
+    # ladders: each bucket's max_tokens equals its occupancy upper bound, so
+    # refinement NEVER changes which voxels drop (a window with occ < hi always
+    # fits its bucket) — it only shrinks per-window padding. Measured on
+    # Waymo-like bench frames, the reference's coarse 4-level tables leave
+    # windows ~40% full (attention pays T^2 per window: 2.0x more MXU block
+    # work, 1.4x more buffer slots than these ladders). The top bucket keeps
+    # the reference's 800-token drop cap.
+    def _ladder(ts, top=800):
+        out, lo = {}, 0
+        for i, t in enumerate(ts):
+            out[str(i)] = {'max_tokens': t, 'batching_range': [lo, t]}
+            lo = t
+        out[str(len(ts))] = {'max_tokens': top, 'batching_range': [lo, 100000]}
+        return out
+
     c.MODEL.BATCHING_INFO = [
-        {
-            '0': {'max_tokens': 16, 'batching_range': [0, 16]},
-            '1': {'max_tokens': 64, 'batching_range': [16, 64]},
-            '2': {'max_tokens': 256, 'batching_range': [64, 256]},
-            '3': {'max_tokens': 800, 'batching_range': [256, 100000]},
-        },
-        {
-            '0': {'max_tokens': 32, 'batching_range': [0, 32]},
-            '1': {'max_tokens': 128, 'batching_range': [32, 128]},
-            '2': {'max_tokens': 512, 'batching_range': [128, 512]},
-            '3': {'max_tokens': 800, 'batching_range': [512, 100000]},
-        },
-        {
-            '0': {'max_tokens': 64, 'batching_range': [0, 64]},
-            '1': {'max_tokens': 160, 'batching_range': [64, 160]},
-            '2': {'max_tokens': 384, 'batching_range': [160, 384]},
-            '3': {'max_tokens': 800, 'batching_range': [384, 100000]},
-        },
-        {
-            '0': {'max_tokens': 128, 'batching_range': [0, 128]},
-            '1': {'max_tokens': 256, 'batching_range': [128, 256]},
-            '2': {'max_tokens': 512, 'batching_range': [256, 512]},
-            '3': {'max_tokens': 800, 'batching_range': [512, 100000]},
-        },
+        _ladder([16, 32, 64, 128, 256]),
+        _ladder([32, 64, 128, 256, 512]),
+        _ladder([32, 64, 128, 256, 512]),
+        _ladder([64, 128, 256, 512]),
     ]
     c.MODEL.WINDOW_SHAPE = [10, 10, 8]
     c.MODEL.DEPTHS = [3, 4, 8, 3]
@@ -181,16 +176,16 @@ def default_config() -> ConfigDict:
     # frac*V_stage/T_l). Overflow windows/voxels are dropped, mirroring the
     # reference keep_mask policy (point_transformer_layer.py:86). Values are
     # sized from measured per-level WINDOW counts on Waymo-like frames at the
-    # dilated stage capacities above (~1.25x margin over the observed max;
-    # window count x max_tokens is the binding constraint for small-T levels,
-    # whose windows run far under full). The top bucket (>=256..800 tokens) is
-    # empty on outdoor LiDAR at every stage, so it gets a small safety
+    # dilated stage capacities above (1.25x margin over the observed per-frame
+    # max; window count x max_tokens is the binding constraint for small-T
+    # levels, whose windows run far under full). The top bucket (drop cap 800)
+    # is empty on outdoor LiDAR at every stage, so it gets a small safety
     # allocation instead of a worst-case one.
     c.RUNTIME.WINDOW_BUCKET_FRACTIONS = [
-        [0.95, 0.82, 0.85, 0.06],
-        [0.30, 1.12, 0.97, 0.06],
-        [0.70, 0.73, 0.87, 0.08],
-        [1.29, 0.72, 0.12, 0.08],
+        [1.02, 0.28, 0.37, 0.40, 0.14, 0.02],
+        [0.30, 0.32, 0.51, 0.52, 0.04, 0.02],
+        [0.24, 0.26, 0.50, 0.75, 0.10, 0.02],
+        [0.45, 0.42, 0.76, 0.11, 0.02],
     ]
     # Compute dtype for matmul-heavy paths ('float32' or 'bfloat16').
     c.RUNTIME.COMPUTE_DTYPE = 'bfloat16'

@@ -99,13 +99,6 @@ def window_coords(coords, valid, sparse_shape, window_shape, do_shift: bool):
     return win, ciw, nwx * nwy * nwz
 
 
-def _occupancy(win_id, valid, num_win_total: int):
-    # invalid ids -> OOB index (dropped) so they don't serialize one slot
-    cnt = jnp.zeros(num_win_total, jnp.int32).at[
-        jnp.where(valid, win_id, num_win_total)].add(1, mode='drop')
-    return jnp.where(valid, cnt[jnp.minimum(win_id, num_win_total - 1)], 0)
-
-
 def _bucket_level(occ, valid, levels: Sequence[LevelSpec]):
     lvl = jnp.full(occ.shape, -1, jnp.int32)
     cap = jnp.zeros(occ.shape, jnp.int32)
@@ -154,18 +147,30 @@ def _masked_inner_sorted(is_new, ms):
     return inner_s, (ms > 0) & (inner_s == 0)
 
 
-def _single_shift_keep(ss: _SortedStructure, win_id, valid, num_win_total,
-                       levels):
+def _single_shift_keep(ss: _SortedStructure, valid, levels):
     """batching_single_shift (point_transformer_layer.py:71-87): keep_mask +
-    level per voxel. One packed row-gather in, one row-scatter out —
-    gathers/scatters are row-count-bound, so columns ride together."""
-    v = win_id.shape[0]
-    occ = _occupancy(win_id, valid, num_win_total)
-    lvl, cap = _bucket_level(occ, valid, levels)
-    packed = jnp.stack([valid.astype(jnp.int32), cap], -1)[ss.order]
-    inner_s, _ = _masked_inner_sorted(ss.is_new, packed[:, 0])
-    keep_s = (packed[:, 0] > 0) & (inner_s < packed[:, 1])
-    return keep_s[ss.inv], lvl
+    level per voxel.
+
+    Window occupancy comes from pure scans over the shift's sorted order
+    (occ = valid-prefix at next window start minus at my window start) instead
+    of a scatter-add into the [num_win_total] dense window grid + gather back
+    (~190k-slot grids at stage 1 — the grid ops cost more than the [V] scans).
+    One 1-col row-gather in, one packed 2-col row-gather out."""
+    ms = valid.astype(jnp.int32)[ss.order]
+    e = jnp.cumsum(ms) - ms                         # exclusive valid prefix
+    total = e[-1] + ms[-1]
+    start_e = jnp.maximum(cummax(jnp.where(ss.is_new, e, -1)), 0)
+    # e at the NEXT window start (exclusive suffix-min of window-start marks);
+    # the last window closes at `total` (invalid rows sort to the tail)
+    g = jnp.where(ss.is_new, e, INT32_MAX)
+    inc = jax.lax.associative_scan(jnp.minimum, g[::-1])
+    nxt = jnp.concatenate([jnp.full((1,), INT32_MAX, g.dtype), inc[:-1]])[::-1]
+    occ_s = jnp.minimum(nxt, total) - start_e
+    lvl_s, cap_s = _bucket_level(occ_s, ms > 0, levels)
+    inner_s = e - start_e
+    keep_s = (ms > 0) & (inner_s < cap_s)
+    packed = jnp.stack([keep_s.astype(jnp.int32), lvl_s], -1)[ss.inv]
+    return packed[:, 0] > 0, packed[:, 1]
 
 
 def _shift_partition(ss: _SortedStructure, final, lvl, levels):
@@ -206,14 +211,14 @@ def build_window_partition(coords, valid, sparse_shape, window_shape,
     indices are built over the surviving set. TWO argsorts total (one per
     shift); all cap/partition phases are segment scans over those orders.
     """
-    win0, ciw0, ntot = window_coords(coords, valid, sparse_shape, window_shape, False)
+    win0, ciw0, _ = window_coords(coords, valid, sparse_shape, window_shape, False)
     win1, ciw1, _ = window_coords(coords, valid, sparse_shape, window_shape, True)
 
     ss0 = _sorted_structure(win0, valid)
     ss1 = _sorted_structure(win1, valid)
 
-    keep0, lvl0 = _single_shift_keep(ss0, win0, valid, ntot, levels)
-    keep1, lvl1 = _single_shift_keep(ss1, win1, keep0, ntot, levels)
+    keep0, lvl0 = _single_shift_keep(ss0, valid, levels)
+    keep1, lvl1 = _single_shift_keep(ss1, keep0, levels)
     final = keep1  # keep1 already includes keep0
 
     s0_idx, s0_nw = _shift_partition(ss0, final, lvl0, levels)

@@ -11,7 +11,20 @@ def test_defaults_match_reference_schema():
     assert c.MODEL.WINDOW_SHAPE == [10, 10, 8]
     assert c.MODEL.DEPTHS == [3, 4, 8, 3]
     assert len(c.MODEL.BATCHING_INFO) == 4
-    assert c.MODEL.BATCHING_INFO[0]['3']['max_tokens'] == 800
+    for stage in c.MODEL.BATCHING_INFO:
+        # power-of-2 refinement invariant: every non-top bucket's cap equals
+        # its occupancy upper bound (refinement never changes drops), buckets
+        # tile [0, inf) contiguously, and the top drop cap is the reference's
+        # 800 (seg3d/utils/config.py:47)
+        keys = sorted(stage.keys(), key=int)
+        lo = 0
+        for k in keys[:-1]:
+            t, (a, b) = stage[k]['max_tokens'], stage[k]['batching_range']
+            assert a == lo and b == t == stage[k]['max_tokens']
+            lo = b
+        top = stage[keys[-1]]
+        assert top['max_tokens'] == 800
+        assert top['batching_range'][0] == lo
     assert c.TRAIN.OPTIMIZER == 'adamw'
 
 

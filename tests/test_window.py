@@ -137,3 +137,46 @@ def test_permute_rows_grads_match_autodiff_oracle():
     np.testing.assert_allclose(float(o_new), float(o_ref), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_level_assignment_matches_numpy_occupancy_oracle():
+    """The scan-based occupancy (valid-prefix differences over the sorted
+    order) must equal a straight numpy per-window count, including the
+    masked-rerun case (shift-1 occupancy counted over shift-0 survivors)."""
+    rng = np.random.RandomState(7)
+    shape = (8, 12, 12)
+    levels = make_level_specs(BATCHING, 96, fraction=1.0)
+    # duplicate-heavy coords so windows have varied occupancy
+    coords = np.full((96, 3), -1, np.int32)
+    n = 80
+    coords[:n, 0] = rng.randint(0, 8, n)
+    coords[:n, 1] = rng.randint(0, 12, n)
+    coords[:n, 2] = rng.randint(0, 12, n)
+    valid = coords[:, 0] >= 0
+    part = jax.jit(lambda c, v: build_window_partition(c, v, shape, (4, 4, 4),
+                                                       levels))(
+        jnp.asarray(coords), jnp.asarray(valid))
+
+    def np_levels(mask, shift):
+        win = np.array(window_coords(jnp.asarray(coords), jnp.asarray(mask),
+                                     shape, (4, 4, 4), shift)[0])
+        occ = {}
+        for i in range(96):
+            if mask[i]:
+                occ[win[i]] = occ.get(win[i], 0) + 1
+        lvl = np.full(96, -1)
+        for i in range(96):
+            if mask[i]:
+                for li, (_, (t, lo, hi)) in enumerate(BATCHING):
+                    if lo <= occ[win[i]] < hi:
+                        lvl[i] = li
+        return lvl
+
+    kept = np.array(part.keep)
+    lvl0 = np_levels(valid, False)
+    np.testing.assert_array_equal(np.array(part.shifts[0].level)[kept],
+                                  lvl0[kept])
+    lvl1 = np_levels(kept, True)   # shift-1 occupancy over shift-0 survivors
+    np.testing.assert_array_equal(np.array(part.shifts[1].level)[kept],
+                                  lvl1[kept])
+    assert (np.array(part.shifts[0].level)[~kept] == -1).all()

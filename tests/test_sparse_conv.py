@@ -26,9 +26,12 @@ def make_sparse(rng, b, v_cap, n_active, shape, c):
     coords = np.full((b, v_cap, 3), -1, dtype=np.int32)
     feats = np.zeros((b, v_cap, c), dtype=np.float32)
     for i in range(b):
-        # unique random sites
+        # unique random sites, in ascending key order — the production
+        # pipeline invariant (the voxelizer emits sorted slots, downsample
+        # outputs are sorted by construction) that the window-form structures
+        # (build_planar_k3_direct / build_downsample) rely on
         total = shape[0] * shape[1] * shape[2]
-        lin = rng.choice(total, size=n_active, replace=False)
+        lin = np.sort(rng.choice(total, size=n_active, replace=False))
         z = lin // (shape[1] * shape[2])
         y = (lin // shape[2]) % shape[1]
         x = lin % shape[2]
@@ -463,3 +466,28 @@ def test_knn_k1_matches_topk():
     assert np.array_equal(np.asarray(idx1[..., 0]), np.asarray(idx2[..., 0]))
     np.testing.assert_allclose(np.asarray(d1[..., 0]), np.asarray(d2[..., 0]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_strided_window_rule_with_fine_capacity_above_out_capacity():
+    """Regression: the window-form rule's base clip must bound by the SOURCE
+    (fine) row count, not the output capacity. With Vf >> Vo and active rows
+    near the end of the fine buffer, a Vo-based clip silently drops taps."""
+    from openseg3d_tpu.ops.sparse_conv import apply_strided_conv
+    rng = np.random.RandomState(11)
+    shape, cin, cout = (8, 12, 12), 4, 5
+    st = make_sparse(rng, b=2, v_cap=240, n_active=200, shape=shape, c=cin)
+    w = rng.randn(27, cin, cout).astype(np.float32)
+    plan = build_downsample(st, out_capacity=150)
+    cmask = plan.out_coords[..., 0] >= 0
+    out = apply_strided_conv(st.features, plan.rule, jnp.array(w), cmask)
+    dense_out = dense_conv(to_dense(st), w, stride=2, padding=1)
+    coords = np.array(plan.out_coords)
+    checked = 0
+    for i in range(2):
+        for j, c in enumerate(coords[i]):
+            if c[0] >= 0:
+                np.testing.assert_allclose(
+                    np.array(out[i, j]), dense_out[i, c[0], c[1], c[2]],
+                    rtol=1e-4, atol=1e-4)
+                checked += 1
+    assert checked > 100

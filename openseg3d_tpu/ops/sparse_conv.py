@@ -425,28 +425,23 @@ class StridedRulebook(NamedTuple):
     absent); with stride 2 / kernel 3 the parity argument bounds candidates
     at 8. The tap of pair (c, v) is the STATIC table tap[pclass[v], c]
     (tapok marks combinations that exist), so weight selection happens per
-    parity class on the MXU — no per-pair tap data. The forward gather uses
-    the window form (wbase/wwsel, see _window_gather): 9 planes x Vo rows of
-    3C instead of 27 x Vo rows of C."""
+    parity class on the MXU — no per-pair tap data."""
     in_idx: jax.Array         # [B, K^3, Vo] gather rule into the fine level
     rank: jax.Array           # [B, n_cand, V_fine]
     pclass: jax.Array         # [B, V_fine] parity class in [0, P)
     tap: jax.Array            # [P, n_cand] static
     tapok: jax.Array          # [P, n_cand] static bool
-    wbase: jax.Array          # [B, 9, Vo] window form of in_idx
-    wwsel: jax.Array          # [B, 9, Vo, 3] int8
 
 
 class InverseRulebook(NamedTuple):
     """Candidate-compact inverse conv structure (SparseInverseConv3d analog):
     the same pair structure read from the fine side, plus the paired forward
-    rule (in window form) for the backward's coarse-side gather."""
+    rule for the backward's coarse-side gather."""
     rank: jax.Array           # [B, n_cand, V_fine]
     pclass: jax.Array         # [B, V_fine]
     tap: jax.Array            # [P, n_cand]
     tapok: jax.Array          # [P, n_cand]
-    wbase: jax.Array          # [B, 9, Vo] window form of the forward rule
-    wwsel: jax.Array          # [B, 9, Vo, 3] int8
+    fwd_idx: jax.Array        # [B, K^3, Vo]
 
 
 def _tap_tables(kernel_size: int, stride: int):
@@ -483,25 +478,16 @@ class DownsamplePlan(NamedTuple):
 
 def build_downsample(st: SparseTensor, out_capacity: int, kernel_size: int = 3,
                      stride: int = 2, padding: int = 1) -> DownsamplePlan:
-    """st.coords MUST be in ascending key order per sample (pipeline
-    invariant: the voxelizer emits sorted slots, downsample outputs are
-    sorted by construction) — the window-form rules (wbase/wwsel) rely on a
-    plane's taps occupying consecutive sorted rows."""
     out_shape = downsample_shape(st.spatial_shape, kernel_size, stride, padding)
     f = partial(_downsample_single, spatial_shape=st.spatial_shape,
                 out_shape=out_shape, kernel_size=kernel_size, stride=stride,
                 padding=padding, out_capacity=out_capacity)
     out_coords, rule_in_idx, rank_cv, pclass, num_out = jax.vmap(f)(st.coords)
     tap, tapok = _tap_tables(kernel_size, stride)
-    if kernel_size != 3:
-        raise NotImplementedError(
-            'window-form strided rule requires kernel_size == 3 '
-            '(the only kernel the reference uses, spconv_unet.py:139-169)')
-    wbase, wwsel = window_rule_from_k3(rule_in_idx, st.coords.shape[1])
     rule = StridedRulebook(in_idx=rule_in_idx, rank=rank_cv, pclass=pclass,
-                           tap=tap, tapok=tapok, wbase=wbase, wwsel=wwsel)
+                           tap=tap, tapok=tapok)
     inv = InverseRulebook(rank=rank_cv, pclass=pclass, tap=tap, tapok=tapok,
-                          wbase=wbase, wwsel=wwsel)
+                          fwd_idx=rule_in_idx)
     return DownsamplePlan(out_coords=out_coords, rule=rule, inv_rule=inv,
                           out_shape=out_shape, num_out=num_out)
 
@@ -629,26 +615,24 @@ def _fine_side_apply(cd, coarse, weights, rank, pclass, tap, tapok, out_mask,
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _inverse_conv_vjp(compute_dtype, features, weights, rank, pclass, tap,
-                      tapok, wbase, wwsel, out_mask):
+                      tapok, fwd_idx, out_mask):
     y, _ = _fine_side_apply(compute_dtype, features, weights, rank, pclass,
                             tap, tapok, out_mask, features.dtype, False)
     return y
 
 
 def _inverse_conv_fwd(compute_dtype, features, weights, rank, pclass, tap,
-                      tapok, wbase, wwsel, out_mask):
+                      tapok, fwd_idx, out_mask):
     y = _inverse_conv_vjp(compute_dtype, features, weights, rank, pclass, tap,
-                          tapok, wbase, wwsel, out_mask)
-    return y, (features, weights, rank, pclass, tap, tapok, wbase, wwsel,
-               out_mask)
+                          tapok, fwd_idx, out_mask)
+    return y, (features, weights, rank, pclass, tap, tapok, fwd_idx, out_mask)
 
 
 def _inverse_conv_bwd(compute_dtype, res, dout):
     """Coarse-side transpose: each (parent, tap) pair is read by exactly ONE
     fine voxel, so dy[k, o] = dout[fwd_idx[k, o]] is a gather from the small
-    fine-level cotangent (in window form: 9 planes x Vo wide rows); then
-    dx = dy @ W^T and dW = x^T dy on the MXU."""
-    features, weights, rank, pclass, tap, tapok, wbase, wwsel, out_mask = res
+    fine-level cotangent; then dx = dy @ W^T and dW = x^T dy on the MXU."""
+    features, weights, rank, pclass, tap, tapok, fwd_idx, out_mask = res
     cd = compute_dtype
     x = features if cd is None else features.astype(cd)
     w = weights if cd is None else weights.astype(cd)
@@ -656,7 +640,7 @@ def _inverse_conv_bwd(compute_dtype, res, dout):
     k3, _, cout = w.shape
     g0 = jnp.where(out_mask[..., None], dout, 0)
     g = g0 if cd is None else g0.astype(cd)
-    dy = _window_gather(g, wbase, wwsel)                     # [B, K3, Vo, Cout]
+    dy = _pair_gather(g, fwd_idx)                            # [B, K3, Vo, Cout]
     dx = jax.lax.dot_general(
         dy, w, dimension_numbers=(((1, 3), (0, 2)), ((), ())),
         preferred_element_type=jnp.float32).astype(features.dtype)
@@ -665,7 +649,7 @@ def _inverse_conv_bwd(compute_dtype, res, dout):
         preferred_element_type=jnp.float32)                  # [K3, Cout, Cin]
     dw = dw.swapaxes(1, 2).astype(weights.dtype)
     z = [np.zeros(a.shape, dtype=jax.dtypes.float0)
-         for a in (rank, pclass, tap, tapok, wbase, wwsel, out_mask)]
+         for a in (rank, pclass, tap, tapok, fwd_idx, out_mask)]
     return (dx, dw, *z)
 
 
@@ -683,28 +667,21 @@ def apply_inverse_conv(features: jax.Array, inv: InverseRulebook,
     inputs (nothing to remat)."""
     cd = None if compute_dtype is None else jnp.dtype(compute_dtype)
     return _inverse_conv_vjp(cd, features, weights, inv.rank, inv.pclass,
-                             inv.tap, inv.tapok, inv.wbase, inv.wwsel,
-                             out_mask)
+                             inv.tap, inv.tapok, inv.fwd_idx, out_mask)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _strided_conv_vjp(compute_dtype, features, weights, wbase, wwsel, rank,
-                      pclass, tap, tapok, out_mask):
-    x = features if compute_dtype is None else features.astype(compute_dtype)
-    w = weights if compute_dtype is None else weights.astype(compute_dtype)
-    nb = _window_gather(x, wbase, wwsel)                     # [B,27,Vo,Ci]
-    acc = jax.lax.dot_general(nb, w, dimension_numbers=_DN_GEMM,
-                              preferred_element_type=jnp.float32)
-    out = acc.astype(features.dtype)
-    return jnp.where(out_mask[..., None], out, 0)
+def _strided_conv_vjp(compute_dtype, features, weights, in_idx, rank, pclass,
+                      tap, tapok, out_mask):
+    return apply_sparse_conv(features, Rulebook(in_idx), weights, out_mask,
+                             compute_dtype)
 
 
-def _strided_conv_fwd(compute_dtype, features, weights, wbase, wwsel, rank,
-                      pclass, tap, tapok, out_mask):
-    y = _strided_conv_vjp(compute_dtype, features, weights, wbase, wwsel,
-                          rank, pclass, tap, tapok, out_mask)
-    return y, (features, weights, wbase, wwsel, rank, pclass, tap, tapok,
-               out_mask)
+def _strided_conv_fwd(compute_dtype, features, weights, in_idx, rank, pclass,
+                      tap, tapok, out_mask):
+    y = _strided_conv_vjp(compute_dtype, features, weights, in_idx, rank,
+                          pclass, tap, tapok, out_mask)
+    return y, (features, weights, in_idx, rank, pclass, tap, tapok, out_mask)
 
 
 def _strided_conv_bwd(compute_dtype, res, dout):
@@ -714,7 +691,7 @@ def _strided_conv_bwd(compute_dtype, res, dout):
     tap weights; dW reuses the same gathered pair rows, contracting
     class-masked x against them and folding (class, candidate) onto taps with
     a static one-hot."""
-    features, weights, wbase, wwsel, rank, pclass, tap, tapok, out_mask = res
+    features, weights, in_idx, rank, pclass, tap, tapok, out_mask = res
     cd = compute_dtype
     x = features if cd is None else features.astype(cd)
     w = weights if cd is None else weights.astype(cd)
@@ -743,7 +720,7 @@ def _strided_conv_bwd(compute_dtype, res, dout):
     dw = jnp.einsum('pico,pck->kio', dw2, t_onehot).astype(weights.dtype)
 
     z = [np.zeros(a.shape, dtype=jax.dtypes.float0)
-         for a in (wbase, wwsel, rank, pclass, tap, tapok, out_mask)]
+         for a in (in_idx, rank, pclass, tap, tapok, out_mask)]
     return (dx, dw, *z)
 
 
@@ -758,9 +735,8 @@ def apply_strided_conv(features: jax.Array, rule: StridedRulebook,
     compact pair structure so no scatter-add ever appears and nothing big
     needs rematerialization."""
     cd = None if compute_dtype is None else jnp.dtype(compute_dtype)
-    return _strided_conv_vjp(cd, features, weights, rule.wbase, rule.wwsel,
-                             rule.rank, rule.pclass, rule.tap, rule.tapok,
-                             out_mask)
+    return _strided_conv_vjp(cd, features, weights, rule.in_idx, rule.rank,
+                             rule.pclass, rule.tap, rule.tapok, out_mask)
 
 
 # ---------------------------------------------------------------------------
@@ -789,31 +765,21 @@ def apply_strided_conv(features: jax.Array, rule: StridedRulebook,
 
 
 class PlanarRulebook(NamedTuple):
-    """Sorted-order k=3 subm structure in window form: for each of the 8 SIDE
-    planes (raster planes (dz,dy) != (0,0)), a voxel's up-to-3 taps live in 3
-    CONSECUTIVE sorted rows base..base+2 (their keys are consecutive
-    integers); wsel[p, v, r] says which tap dx in {-1,0,1} window row r is
-    (2 = not a neighbor). The executor therefore gathers ONE 3-lane-wide row
-    per (plane, voxel) — 8V rows — instead of one row per tap (24V rows);
-    row-gathers are issue-bound at ~3.2ns/row on v5e, so a 3x-wider gather of
-    1/3 the rows runs ~3x faster at equal bytes. The center plane needs only
-    presence flags: its dx = -1/0/+1 neighbors sit at rows u-1/u/u+1 exactly
-    (row shifts, no gather). Side planes are ordered by ascending raster plane
-    (0,1,2,3,5,6,7,8); tap k of side slot (p, t) is _SIDE_OFFS[p * 3 + t]."""
-    base: jax.Array       # [B, 8, V] int32 window start row per side plane
-    wsel: jax.Array       # [B, 8, V, 3] int8 tap dx of window row r (2 = none)
-    center: jax.Array     # [B, 3, V] bool presence of center dx = -1/0/+1
+    """Sorted-order k=3 subm structure: in_idx[k][o] = the input row at raster
+    offset k = (dz+1)*9 + (dy+1)*3 + (dx+1) of output o (-1 = absent). Same
+    layout as Rulebook.in_idx but dispatched to the custom-VJP subm executor
+    (apply_planar_subm_conv) instead of the checkpointed generic path."""
+    in_idx: jax.Array     # [B, 27, V] int32
 
 
-_SIDE_PLANES = (0, 1, 2, 3, 5, 6, 7, 8)
-
-
-def _pack_planar(base9, wsel9):
-    """(base [9, V], wsel [9, V, 3]) of all raster planes -> PlanarRulebook
-    arrays for one sample: side planes packed, center reduced to presence."""
-    side = np.asarray(_SIDE_PLANES)
-    center = jnp.stack([jnp.any(wsel9[4] == dx, axis=-1) for dx in (-1, 0, 1)])
-    return base9[side], wsel9[side], center
+def _nbidx_from_base_wsel(base: jax.Array, wsel: jax.Array) -> jax.Array:
+    """(base [9, V], wsel [9, V, 3]) -> in_idx [27, V] (-1 = absent): the
+    3-row-window form's row for dx is base + w where wsel[w] == dx."""
+    hit = wsel[:, :, :, None] == (jnp.arange(3, dtype=jnp.int8) - 1)  # [9,V,3w,3dx]
+    off = jnp.argmax(hit, axis=2).astype(jnp.int32)          # [9, V, 3dx]
+    any_ = jnp.any(hit, axis=2)
+    rows = jnp.where(any_, base[:, :, None] + off, -1)
+    return rows.transpose(0, 2, 1).reshape(27, base.shape[1])
 
 
 def sort_by_key(st: SparseTensor) -> tuple[SparseTensor, jax.Array]:
@@ -878,15 +844,15 @@ def _planar_subm_single(coords: jax.Array, spatial_shape):
                          jnp.where(delta == 1, xq < gx - 1, True))
     hit = (jnp.abs(delta) <= 1) & bound_ok
     wsel = jnp.where(hit, delta, 2).astype(jnp.int8)         # [9V, 3]
-    return _pack_planar(base.reshape(9, v), wsel.reshape(9, v, 3))
+    return _nbidx_from_base_wsel(base.reshape(9, v), wsel.reshape(9, v, 3))
 
 
 def build_planar_subm_rulebook(st: SparseTensor) -> PlanarRulebook:
     """st.coords MUST already be in ascending key order per sample (use
     sort_by_key once per stage — downsample outputs are already sorted)."""
-    base, wsel, center = jax.vmap(partial(
-        _planar_subm_single, spatial_shape=st.spatial_shape))(st.coords)
-    return PlanarRulebook(base=base, wsel=wsel, center=center)
+    in_idx = jax.vmap(partial(_planar_subm_single,
+                              spatial_shape=st.spatial_shape))(st.coords)
+    return PlanarRulebook(in_idx=in_idx)
 
 
 def _base_wsel_from_rows(row_m, row_0, row_p, v: int):
@@ -1001,38 +967,43 @@ def _planar_k3_direct_single(coords: jax.Array, spatial_shape):
     wsel_f = wsel_of(kw_f, safe_k[None] + cvec, ok_f)         # [4, V, 3]
     wsel_m = wsel_of(kw_m, safe_k[None] - cvec, ok_m)
 
-    # center plane: x-neighbors sit at rows i-1 / i+1 exactly; only presence
-    # flags are needed (the executor uses row shifts, not gathers)
+    # center plane: x-neighbors sit at rows i-1 / i+1 exactly
     nxt = jnp.minimum(arange_v + 1, v - 1)
     prv = jnp.maximum(arange_v - 1, 0)
     ok_p = valid & (keys[nxt] == keys + 1) & ((keys + 1) % gx != 0) & (arange_v + 1 < v)
     ok_m_c = valid & (keys[prv] == keys - 1) & (keys % gx != 0) & (arange_v > 0)
-    center = jnp.stack([ok_m_c, valid, ok_p])               # [3, V]
+    base_c, wsel_c = _base_wsel_from_rows(
+        jnp.where(ok_m_c, arange_v - 1, INT32_SENTINEL),
+        jnp.where(valid, arange_v, INT32_SENTINEL),
+        jnp.where(ok_p, arange_v + 1, INT32_SENTINEL), v)
 
-    # assemble side planes in ascending raster order (_SIDE_PLANES): planes
-    # 0..3 are mirrors of 8..5, planes 5..8 are the searched ones in `planes`
-    # order (raster index (dz+1)*3 + (dy+1): (0,1)->5, (1,-1)->6, (1,0)->7,
+    # assemble raster plane order: planes 0..3 are mirrors of 8..5, plane 4 is
+    # the center, planes 5..8 are the searched ones in `planes` order
+    # (k raster index (dz+1)*3 + (dy+1): (0,1)->5, (1,-1)->6, (1,0)->7,
     # (1,1)->8; mirrors land at 8-p).
     order_f = {5: 0, 6: 1, 7: 2, 8: 3}
     base_rows, wsel_rows = [], []
-    for p in _SIDE_PLANES:
-        if p in order_f:
+    for p in range(9):
+        if p == 4:
+            base_rows.append(base_c)
+            wsel_rows.append(wsel_c)
+        elif p in order_f:
             base_rows.append(base_f[order_f[p]])
             wsel_rows.append(wsel_f[order_f[p]])
         else:
             fi = order_f[8 - p]
             base_rows.append(base_m[fi])
             wsel_rows.append(wsel_m[fi])
-    return jnp.stack(base_rows), jnp.stack(wsel_rows), center
+    return _nbidx_from_base_wsel(jnp.stack(base_rows), jnp.stack(wsel_rows))
 
 
 def build_planar_k3_direct(st: SparseTensor) -> PlanarRulebook:
     """Planar subm structure for k=3 directly from key-sorted coords — the
     production path of build_unet_plans (equivalent to
     planar_from_k3(build_subm_rulebook(st, 3, assume_sorted=True)))."""
-    base, wsel, center = jax.vmap(partial(
-        _planar_k3_direct_single, spatial_shape=st.spatial_shape))(st.coords)
-    return PlanarRulebook(base=base, wsel=wsel, center=center)
+    in_idx = jax.vmap(partial(_planar_k3_direct_single,
+                              spatial_shape=st.spatial_shape))(st.coords)
+    return PlanarRulebook(in_idx=in_idx)
 
 
 def apply_subm(features: jax.Array, rulebook, weights: jax.Array,
@@ -1056,41 +1027,28 @@ def apply_subm(features: jax.Array, rulebook, weights: jax.Array,
 
 
 def planar_from_k3(rulebook: Rulebook) -> PlanarRulebook:
-    """Convert a k=3 subm rulebook (built over KEY-SORTED coords) to the
-    window-form planar structure: per side plane the present taps' rows are
-    consecutive, so (base, wsel) fall out of the per-tap row indices."""
+    """The k=3 subm rulebook IS the execution structure (same [B, 27, V]
+    layout); wrapping it re-dispatches execution to the custom-VJP subm path
+    (mirror-symmetry backward instead of the checkpointed generic path whose
+    autodiff would emit scatter-adds)."""
     assert rulebook.in_idx.shape[1] == 27, rulebook.in_idx.shape
-    b, _, v = rulebook.in_idx.shape
-
-    def one(in_idx):
-        bases, wsels = [], []
-        for p in _SIDE_PLANES:
-            rows = [jnp.where(in_idx[p * 3 + t] >= 0, in_idx[p * 3 + t],
-                              INT32_SENTINEL) for t in range(3)]
-            base, wsel = _base_wsel_from_rows(rows[0], rows[1], rows[2], v)
-            bases.append(base)
-            wsels.append(wsel)
-        center = jnp.stack([in_idx[12] >= 0, in_idx[13] >= 0, in_idx[14] >= 0])
-        return jnp.stack(bases), jnp.stack(wsels), center
-
-    base, wsel, center = jax.vmap(one)(rulebook.in_idx)
-    return PlanarRulebook(base=base, wsel=wsel, center=center)
+    return PlanarRulebook(in_idx=rulebook.in_idx)
 
 
-# the 24 non-center raster offsets (center plane 12/13/14 uses row shifts
-# instead of gathers — 1/9 of the rows for free). Ascending k order equals
-# (side plane, tap) order: _SIDE_OFFS[p * 3 + t] = _SIDE_PLANES[p] * 3 + t.
+# the 24 non-center offsets in 3 gather groups (center plane 12/13/14 uses
+# row shifts instead of gathers — 1/9 of the rows for free)
 _SIDE_OFFS = tuple(k for k in range(27) if k not in (12, 13, 14))
+_SIDE_GROUPS = tuple(_SIDE_OFFS[8 * g:8 * (g + 1)] for g in range(3))
 
 
-def _center_neighbors(x, center):
+def _center_neighbors(x, in_idx):
     """nb_{12,13,14}(x) [B, 3, V, C] by row shifts: in sorted-key order the
     center plane's dx = -1/0/+1 neighbors sit at rows u-1/u/u+1 exactly, so
-    two shifts + presence masks replace 3V gathered rows."""
+    two shifts + presence masks (in_idx rows >= 0) replace 3V gathered rows."""
     b, v, c = x.shape
-    pm = center[:, 0][..., None]
-    p0 = center[:, 1][..., None]
-    pp = center[:, 2][..., None]
+    pm = (in_idx[:, 12] >= 0)[..., None]
+    p0 = (in_idx[:, 13] >= 0)[..., None]
+    pp = (in_idx[:, 14] >= 0)[..., None]
     z = jnp.zeros((b, 1, c), x.dtype)
     xm = jnp.where(pm, jnp.concatenate([z, x[:, :-1]], axis=1), 0)
     x0 = jnp.where(p0, x, 0)
@@ -1098,106 +1056,75 @@ def _center_neighbors(x, center):
     return jnp.stack([xm, x0, xp], axis=1)                   # [B, 3, V, C]
 
 
-def _window_gather(x, base, wsel):
-    """Tap-aligned neighbors [B, P*3, V, C] (plane-major ascending tap order)
-    via ONE P*V-row gather of a 3-lane shifted table: row i of the table is
-    x[i] | x[i+1] | x[i+2], so one gathered row carries a plane's whole
-    3-row window (row-gathers are issue-bound at ~3.2ns/row — 3x fewer rows
-    at 3x width beats three narrow per-tap gathers at equal bytes). wsel then
-    routes each window row to its tap lane (or drops it) with a 9-term
-    select-add that XLA fuses over the gathered buffer.
-
-    x [B, N, C] (key-sorted source), base [B, P, V], wsel [B, P, V, 3]."""
-    b, n, c = x.shape
-    p, v = base.shape[1], base.shape[2]
-    zz = jnp.zeros((b, 2, c), x.dtype)
-    xpad = jnp.concatenate([x, zz], axis=1)                  # [B, N+2, C]
-    x3 = jnp.concatenate([xpad[:, :n], xpad[:, 1:n + 1], xpad[:, 2:n + 2]],
-                         axis=-1)                            # [B, N, 3C]
-    g = jnp.take_along_axis(x3, base.reshape(b, p * v)[..., None], axis=1)
-    g = g.reshape(b, p, v, 3, c)                             # [B, P, V, r, C]
-    taps = []
-    for t in (-1, 0, 1):
-        acc = jnp.zeros((b, p, v, c), x.dtype)
-        for r in range(3):
-            acc = acc + jnp.where((wsel[..., r] == t)[..., None], g[..., r, :], 0)
-        taps.append(acc)
-    nb = jnp.stack(taps, axis=2)                             # [B, P, 3, V, C]
-    return nb.reshape(b, p * 3, v, c)
-
-
-def window_rule_from_k3(in_idx, src_len: int):
-    """[B, 27, V] per-tap rows (into a KEY-SORTED source of src_len rows) ->
-    window form (base [B, 9, V] int32, wsel [B, 9, V, 3] int8) for all 9
-    raster planes: a plane's present taps have consecutive keys, hence
-    consecutive rows. src_len is the SOURCE row count (teaches the base clip
-    its true upper bound — for strided/inverse rules it differs from V)."""
-
-    def one(ii):
-        bases, wsels = [], []
-        for p in range(9):
-            rows = [jnp.where(ii[p * 3 + t] >= 0, ii[p * 3 + t],
-                              INT32_SENTINEL) for t in range(3)]
-            bb, ww = _base_wsel_from_rows(rows[0], rows[1], rows[2], src_len)
-            bases.append(bb)
-            wsels.append(ww)
-        return jnp.stack(bases), jnp.stack(wsels)
-
-    return jax.vmap(one)(in_idx)
+def _group_neighbors(x_padded, in_idx, grp):
+    """nb_k(x) for the 8 offsets of one gather group: ONE take_along_axis of
+    8V rows (row gathers run ~9ns/row vs ~56ns for the retired [3, C]-window
+    dynamic-slice gathers; grouping lets XLA overlap them with the GEMMs)."""
+    b = x_padded.shape[0]
+    v = in_idx.shape[2]
+    c = x_padded.shape[-1]
+    idx = in_idx[:, list(grp)]                               # [B, 8, V]
+    flat = jnp.where(idx >= 0, idx, v).reshape(b, 8 * v)
+    g = jnp.take_along_axis(x_padded, flat[..., None], axis=1)
+    return g.reshape(b, 8, v, c)
 
 
 _DN_GEMM = (((1, 3), (0, 1)), ((), ()))     # [B,G,V,Ci] x [G,Ci,Co] -> [B,V,Co]
 _DN_DW = (((0, 2), (0, 1)), ((), ()))       # [B,G,V,Co] x [B,V,Ci] -> [G,Co,Ci]
 
 
-def _subm_apply(x, w27, base, wsel, center, out_mask, out_dtype):
+def _subm_apply(x, w27, in_idx, out_mask, out_dtype):
     """Forward body: x [B,V,Cin] (compute dtype), w27 [27,Cin,Cout]."""
-    ctr = _center_neighbors(x, center)
+    b, v, cin = x.shape
+    xp = jnp.concatenate([x, jnp.zeros((b, 1, cin), x.dtype)], axis=1)
+    ctr = _center_neighbors(x, in_idx)
     acc = jax.lax.dot_general(ctr, w27[12:15], dimension_numbers=_DN_GEMM,
                               preferred_element_type=jnp.float32)
-    nb = _window_gather(x, base, wsel)                       # [B,24,V,Ci]
-    acc = acc + jax.lax.dot_general(
-        nb, w27[np.asarray(_SIDE_OFFS)], dimension_numbers=_DN_GEMM,
-        preferred_element_type=jnp.float32)
+    for grp in _SIDE_GROUPS:
+        g = _group_neighbors(xp, in_idx, grp)
+        acc = acc + jax.lax.dot_general(
+            g, w27[np.asarray(grp)], dimension_numbers=_DN_GEMM,
+            preferred_element_type=jnp.float32)
     out = acc.astype(out_dtype)
     return jnp.where(out_mask[..., None], out, 0)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _subm_conv_vjp(compute_dtype, features, weights, base, wsel, center, out_mask):
+def _subm_conv_vjp(compute_dtype, features, weights, in_idx, out_mask):
     cd = compute_dtype
     x = features if cd is None else features.astype(cd)
     w = weights if cd is None else weights.astype(cd)
-    return _subm_apply(x, w, base, wsel, center, out_mask, features.dtype)
+    return _subm_apply(x, w, in_idx, out_mask, features.dtype)
 
 
-def _subm_conv_fwd(compute_dtype, features, weights, base, wsel, center, out_mask):
-    y = _subm_conv_vjp(compute_dtype, features, weights, base, wsel, center,
-                       out_mask)
-    return y, (features, weights, base, wsel, center, out_mask)
+def _subm_conv_fwd(compute_dtype, features, weights, in_idx, out_mask):
+    y = _subm_conv_vjp(compute_dtype, features, weights, in_idx, out_mask)
+    return y, (features, weights, in_idx, out_mask)
 
 
 def _subm_conv_bwd(compute_dtype, res, dout):
     """Hand-written transpose via the subm symmetry (o reads u at offset k <=>
-    u reads o at offset 26-k), so the SAME window structure serves the
-    backward:
+    u reads o at offset 26-k), so the SAME rulebook serves the backward:
 
       dx[u] = sum_k nb_k(g)[u] @ W[26-k]^T      (mirrored gather-GEMM)
       dW[26-k] = sum_u x[u] (x) nb_k(g)[u]      (reuses the dx pass's nb(g))
 
-    ONE 8V-row gather of the cotangent — x is never gathered and nothing
-    scatters (XLA's autodiff of the forward gather would emit a serialized
-    scatter-add)."""
-    features, weights, base, wsel, center, out_mask = res
+    ONE gather of the cotangent per offset group — x is never gathered and
+    nothing scatters (XLA's autodiff of the forward gather would emit a
+    serialized scatter-add)."""
+    features, weights, in_idx, out_mask = res
     cd = compute_dtype
     x = features if cd is None else features.astype(cd)
     w = weights if cd is None else weights.astype(cd)
+    b, v, cin = x.shape
+    cout = w.shape[-1]
     g0 = jnp.where(out_mask[..., None], dout, 0)
     g = g0 if cd is None else g0.astype(cd)
+    gp = jnp.concatenate([g, jnp.zeros((b, 1, cout), g.dtype)], axis=1)
 
     dws = [None] * 27
     # center plane: nb_{12,13,14}(g) by row shifts; mirror of k is 26-k
-    ctr_g = _center_neighbors(g, center)                     # [B,3,V,Co]
+    ctr_g = _center_neighbors(g, in_idx)                     # [B,3,V,Co]
     wm_ctr = jnp.stack([w[14], w[13], w[12]]).swapaxes(1, 2)  # [3,Co,Ci]
     acc_dx = jax.lax.dot_general(ctr_g, wm_ctr, dimension_numbers=_DN_GEMM,
                                  preferred_element_type=jnp.float32)
@@ -1206,22 +1133,21 @@ def _subm_conv_bwd(compute_dtype, res, dout):
     for j, k in enumerate((12, 13, 14)):
         dws[26 - k] = dw_ctr[j].swapaxes(0, 1)               # [Ci, Co]
 
-    nb_g = _window_gather(g, base, wsel)                     # [B,24,V,Co]
-    wm = jnp.stack([w[26 - k] for k in _SIDE_OFFS]).swapaxes(1, 2)
-    acc_dx = acc_dx + jax.lax.dot_general(
-        nb_g, wm, dimension_numbers=_DN_GEMM,
-        preferred_element_type=jnp.float32)
-    dwp = jax.lax.dot_general(nb_g, x, dimension_numbers=_DN_DW,
-                              preferred_element_type=jnp.float32)
-    for j, k in enumerate(_SIDE_OFFS):
-        dws[26 - k] = dwp[j].swapaxes(0, 1)
+    for grp in _SIDE_GROUPS:
+        nb_g = _group_neighbors(gp, in_idx, grp)             # [B,8,V,Co]
+        wm = jnp.stack([w[26 - k] for k in grp]).swapaxes(1, 2)
+        acc_dx = acc_dx + jax.lax.dot_general(
+            nb_g, wm, dimension_numbers=_DN_GEMM,
+            preferred_element_type=jnp.float32)
+        dwp = jax.lax.dot_general(nb_g, x, dimension_numbers=_DN_DW,
+                                  preferred_element_type=jnp.float32)
+        for j, k in enumerate(grp):
+            dws[26 - k] = dwp[j].swapaxes(0, 1)
     dx = jnp.where(out_mask[..., None], acc_dx.astype(features.dtype), 0)
     dw = jnp.stack(dws).astype(weights.dtype)                # [27, Cin, Cout]
-    zb = np.zeros(base.shape, dtype=jax.dtypes.float0)
-    zw = np.zeros(wsel.shape, dtype=jax.dtypes.float0)
-    zc = np.zeros(center.shape, dtype=jax.dtypes.float0)
+    zi = np.zeros(in_idx.shape, dtype=jax.dtypes.float0)
     zm = np.zeros(out_mask.shape, dtype=jax.dtypes.float0)
-    return dx, dw, zb, zw, zc, zm
+    return dx, dw, zi, zm
 
 
 _subm_conv_vjp.defvjp(_subm_conv_fwd, _subm_conv_bwd)
@@ -1235,5 +1161,4 @@ def apply_planar_subm_conv(features: jax.Array, rulebook: PlanarRulebook,
     Exactly equivalent to apply_sparse_conv with the k=3 subm rulebook; carries
     the mirror-symmetry custom VJP (see _subm_conv_bwd)."""
     cd = None if compute_dtype is None else jnp.dtype(compute_dtype)
-    return _subm_conv_vjp(cd, features, weights, rulebook.base, rulebook.wsel,
-                          rulebook.center, out_mask)
+    return _subm_conv_vjp(cd, features, weights, rulebook.in_idx, out_mask)

@@ -76,13 +76,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--batch_size', type=int, default=1)
     ap.add_argument('--n_points', type=int, default=163840)
-    ap.add_argument('--iters', type=int, default=10)
+    # 25 iters amortize the axon tunnel's ~35ms readback RTT to ~1.4ms/step
+    # (at 10 iters the RTT inflated every step by ~3.5ms of pure measurement
+    # artifact — host-side, not device time)
+    ap.add_argument('--iters', type=int, default=25)
     ap.add_argument('--mode', choices=['infer', 'train'], default='infer')
     ap.add_argument('--segmentor', default='segformer')
     ap.add_argument('--max_voxels', type=int, default=98304)
     ap.add_argument('--stage_ratios', type=str, default='',
                     help='comma-separated RUNTIME.STAGE_CAPACITY_RATIOS '
                          'override, for capacity-cost bisection')
+    ap.add_argument('--image_feature', action='store_true',
+                    help='enable DATASET.USE_IMAGE_FEATURE (DeepFusion '
+                         'cross-attention + KNN) with random 28-dim features')
+    ap.add_argument('--cfg_file', default='configs/waymo_one_sweep.yaml')
     args = ap.parse_args()
 
     os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/repo/.jax_cache')
@@ -105,10 +112,13 @@ def main():
     if args.stage_ratios:
         runtime_over['STAGE_CAPACITY_RATIOS'] = [
             float(x) for x in args.stage_ratios.split(',')]
-    cfg = cfg_from_file('configs/waymo_one_sweep.yaml', overrides={
+    overrides = {
         'MODEL': {'SEGMENTOR': args.segmentor},
         'RUNTIME': runtime_over,
-    })
+    }
+    if args.image_feature:
+        overrides['DATASET'] = {'USE_IMAGE_FEATURE': True}
+    cfg = cfg_from_file(args.cfg_file, overrides=overrides)
 
     rng = np.random.RandomState(0)
     vg = VoxelGenerator(cfg.DATASET.VOXEL_SIZE, cfg.DATASET.POINT_CLOUD_RANGE)
@@ -117,9 +127,13 @@ def main():
         pts = make_waymo_like_cloud(rng, args.n_points)
         coords, ids = vg.generate(pts)
         labels = rng.randint(0, 22, args.n_points)
-        samples.append(dict(points=pts, voxel_coords=coords, point_voxel_ids=ids,
-                            point_labels=labels,
-                            voxel_labels=majority_voxel_labels(ids, labels, coords.shape[0])))
+        s_dict = dict(points=pts, voxel_coords=coords, point_voxel_ids=ids,
+                      point_labels=labels,
+                      voxel_labels=majority_voxel_labels(ids, labels, coords.shape[0]))
+        if args.image_feature:
+            s_dict['point_image_features'] = rng.randn(
+                args.n_points, cfg.DATASET.DIM_IMAGE_FEATURE).astype(np.float32)
+        samples.append(s_dict)
     n_voxels = [int(s['voxel_coords'].shape[0]) for s in samples]
     batch = collate_padded([pad_sample(s, args.n_points, args.max_voxels)
                             for s in samples])
@@ -170,7 +184,8 @@ def main():
     pts_per_sec = args.batch_size * args.n_points / med
 
     print(json.dumps({
-        'metric': f'{args.segmentor} end-to-end {args.mode} throughput '
+        'metric': f'{args.segmentor}{"+deepfusion" if args.image_feature else ""} '
+                  f'end-to-end {args.mode} throughput '
                   f'(single chip, {args.n_points} pts/frame, '
                   f'voxels={n_voxels}, step={med * 1e3:.1f}ms)',
         'value': round(pts_per_sec / 1e6, 4),

@@ -23,6 +23,9 @@ def parse_args():
                    help='directory containing latest/ checkpoint')
     p.add_argument('--log_iter_interval', default=10, type=int)
     p.add_argument('--no_tta', action='store_true')
+    p.add_argument('--tta_batch', default=2, type=int,
+                   help='TTA variants batched per forward (36 variants; pick '
+                        'a divisor of 36 — HBM holds 2-4 at default caps)')
     p.add_argument('--synthetic', action='store_true')
     p.add_argument('--synthetic_frames', default=8, type=int)
     return p.parse_args()
@@ -76,6 +79,8 @@ def main():
     # per variant costs ~14MB x 36 through the axon tunnel; accumulating in
     # HBM and reading back one int32 argmax per frame removes ~99% of that.
     accum = jax.jit(lambda a, p: a + p)
+    # batched-TTA accumulation: sum the variant axis on device in the same op
+    accum_b = jax.jit(lambda a, p: a + p.sum(axis=0))
     dev_argmax = jax.jit(lambda a: jnp.argmax(a, axis=-1))
 
     # TTA protocol (tools/eval.py:97-100)
@@ -100,17 +105,25 @@ def main():
         else:
             # softmax-mean over variants; each variant may reorder points, so
             # accumulation is in padded order (variants share the raw order
-            # because eval disables the training-time shuffles)
+            # because eval disables the training-time shuffles). Variants are
+            # batched --tta_batch per forward: one compiled executable serves
+            # every group, and the variant axis is summed on device.
             acc, mask, gt = None, None, None
+            group = []
             for b in tta(raw):
-                bj = {k: jnp.asarray(v) for k, v in b.items() if k != 'batch_size'}
-                p = forward(bj)[0]
-                if acc is None:
-                    acc = p
+                if mask is None:
                     mask = np.asarray(b['point_mask'][0]) & np.asarray(b['cur_point_mask'][0])
                     gt = np.asarray(b['point_labels'][0])
-                else:
-                    acc = accum(acc, p)
+                group.append(b)
+                if len(group) < max(args.tta_batch, 1):
+                    continue
+                big = {k: np.concatenate([g[k] for g in group])
+                       for k in group[0] if k != 'batch_size'}
+                group = []
+                ps = forward({k: jnp.asarray(v) for k, v in big.items()})
+                acc = ps.sum(axis=0) if acc is None else accum_b(acc, ps)
+            assert not group, ('--tta_batch must divide the variant count '
+                               f'({tta.num_variants()})')
             preds = np.asarray(dev_argmax(acc))
         metric.add(preds[mask], gt[mask])
         if (i + 1) % args.log_iter_interval == 0:

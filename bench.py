@@ -123,13 +123,32 @@ def main():
     rng = np.random.RandomState(0)
     vg = VoxelGenerator(cfg.DATASET.VOXEL_SIZE, cfg.DATASET.POINT_CLOUD_RANGE)
     samples = []
+    multi = bool(cfg.DATASET.USE_MULTI_SWEEPS)
+    n_cur = args.n_points // cfg.DATASET.NUM_SWEEPS if multi else args.n_points
     for i in range(args.batch_size):
-        pts = make_waymo_like_cloud(rng, args.n_points)
+        if multi:
+            # NUM_SWEEPS ego-shifted copies of a frame; col 3 = timestamp
+            # delta (0 for the current sweep, waymo_dataset.py:156-202)
+            sweeps = []
+            for si in range(cfg.DATASET.NUM_SWEEPS):
+                sw = make_waymo_like_cloud(rng, n_cur)
+                sw[:, :2] += 0.4 * si              # ego motion between sweeps
+                sw[:, 3] = 0.1 * si                # timestamp delta
+                sweeps.append(sw)
+            pts = np.concatenate(sweeps)[:args.n_points]
+            cur_idx = np.arange(n_cur)
+        else:
+            pts = make_waymo_like_cloud(rng, args.n_points)
         coords, ids = vg.generate(pts)
-        labels = rng.randint(0, 22, args.n_points)
+        labels = rng.randint(0, 22, n_cur)
+        full_labels = (np.pad(labels, (0, args.n_points - n_cur),
+                              constant_values=255) if multi else labels)
         s_dict = dict(points=pts, voxel_coords=coords, point_voxel_ids=ids,
                       point_labels=labels,
-                      voxel_labels=majority_voxel_labels(ids, labels, coords.shape[0]))
+                      voxel_labels=majority_voxel_labels(
+                          ids, full_labels, coords.shape[0]))
+        if multi:
+            s_dict['cur_point_indices'] = cur_idx
         if args.image_feature:
             s_dict['point_image_features'] = rng.randn(
                 args.n_points, cfg.DATASET.DIM_IMAGE_FEATURE).astype(np.float32)

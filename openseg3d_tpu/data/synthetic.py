@@ -62,7 +62,13 @@ class SyntheticDataset:
         rng = np.random.RandomState(self.seed + index)
         n = self.n_points
         rg = np.asarray(self.cfg.DATASET.POINT_CLOUD_RANGE, np.float32)
-        span = (rg[3:5] - rg[0:2]) / 2 * 0.95
+        if self.use_cylinder:
+            # cylinder configs express the range as (rho, phi, z); the
+            # generator works in cartesian (prepare_data converts), so the
+            # usable cartesian span is the rho disk
+            span = np.asarray([rg[3], rg[3]], np.float32) / 2 * 0.95
+        else:
+            span = (rg[3:5] - rg[0:2]) / 2 * 0.95
         zlo, zhi = rg[2] * 0.95, rg[5] * 0.95
         n_ground = int(n * 0.55)
         r = np.sqrt(rng.uniform(1.0, (min(span) * 0.98) ** 2, n_ground))

@@ -139,9 +139,13 @@ def main():
             cur_idx = np.arange(n_cur)
         else:
             pts = make_waymo_like_cloud(rng, args.n_points)
+        if cfg.DATASET.USE_CYLINDER:
+            from openseg3d_tpu.utils.pointops import cart2polar
+            pts = np.concatenate([cart2polar(pts), pts[:, :2], pts[:, 3:]],
+                                 axis=1).astype(np.float32)
         coords, ids = vg.generate(pts)
         labels = rng.randint(0, 22, n_cur)
-        full_labels = (np.pad(labels, (0, args.n_points - n_cur),
+        full_labels = (np.pad(labels, (0, pts.shape[0] - n_cur),
                               constant_values=255) if multi else labels)
         s_dict = dict(points=pts, voxel_coords=coords, point_voxel_ids=ids,
                       point_labels=labels,

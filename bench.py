@@ -145,17 +145,20 @@ def main():
                                  axis=1).astype(np.float32)
         coords, ids = vg.generate(pts)
         labels = rng.randint(0, 22, n_cur)
-        full_labels = (np.pad(labels, (0, pts.shape[0] - n_cur),
-                              constant_values=255) if multi else labels)
+        # mirror the dataset: voxel labels are voted over CURRENT-frame points
+        # only (waymo_dataset.prepare_voxel_labels) — history-dominated mixed
+        # voxels keep their current-point label, not ignore (ADVICE r3)
+        vote_ids = ids[cur_idx] if multi else ids
         s_dict = dict(points=pts, voxel_coords=coords, point_voxel_ids=ids,
                       point_labels=labels,
                       voxel_labels=majority_voxel_labels(
-                          ids, full_labels, coords.shape[0]))
+                          vote_ids, labels, coords.shape[0]))
         if multi:
             s_dict['cur_point_indices'] = cur_idx
         if args.image_feature:
+            # per-CURRENT-point features (dataset contract, waymo_dataset.py)
             s_dict['point_image_features'] = rng.randn(
-                args.n_points, cfg.DATASET.DIM_IMAGE_FEATURE).astype(np.float32)
+                n_cur, cfg.DATASET.DIM_IMAGE_FEATURE).astype(np.float32)
         samples.append(s_dict)
     n_voxels = [int(s['voxel_coords'].shape[0]) for s in samples]
     batch = collate_padded([pad_sample(s, args.n_points, args.max_voxels)

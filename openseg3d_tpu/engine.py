@@ -112,8 +112,22 @@ def make_train_step(cfg, spec: ModelSpec, model, donate: bool = True):
             return loss, mut['batch_stats']
 
         (loss, batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        new_state = state.apply_gradients(grads, batch_stats)
-        return new_state, {'loss': loss}
+
+        # Non-finite-gradient guard (skip-and-log policy): one unexplained NaN
+        # dW was observed on the real TPU in bf16 at full scale on degenerate
+        # near-planar data (runs/cyl_r3, NOTES r3 #4) and never reproduced
+        # minimally. A silent NaN poisons params forever; instead the update
+        # is dropped wholesale (params, opt state and step selected from the
+        # pre-update state) and surfaced via the `grads_finite` metric, which
+        # the train loop logs loudly. Costs one small reduction per leaf.
+        finite = jnp.array(True)
+        for g in jax.tree_util.tree_leaves(grads):
+            finite = finite & jnp.all(jnp.isfinite(g))
+        applied = state.apply_gradients(grads, batch_stats)
+        skipped = state.replace(step=state.step + 1, batch_stats=batch_stats)
+        new_state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(finite, a, b), applied, skipped)
+        return new_state, {'loss': loss, 'grads_finite': finite}
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.knn import knn_query
+from ..ops.knn import knn_query, voxel_bucket_knn
 
 
 class DeepFusionBlock(nn.Module):
@@ -23,31 +23,58 @@ class DeepFusionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, points_xyz, point_mask, lidar_features, image_features,
-                 train: bool):
+                 train: bool, point_voxel_ids=None, voxel_coords=None,
+                 spatial_shape=None):
         """points_xyz [B,P,3], lidar_features [B,P,Cl], image_features [B,P,Ci]
-        -> [B,P,Ci]."""
+        -> [B,P,Ci].
+
+        When voxel structure is supplied, neighbor search runs on the
+        voxel-bucket candidate KNN (ops/knn.voxel_bucket_knn — the production
+        path; brute force is O(P^2) and unusable at 163k points); without it,
+        exact brute-force KNN."""
         dt = lidar_features.dtype
-        q = nn.Dense(self.hidden_channel, dtype=dt)(lidar_features)
-        k = nn.Dense(self.hidden_channel, dtype=dt)(image_features.astype(dt))
-        v = nn.Dense(self.hidden_channel, dtype=dt)(image_features.astype(dt))
-
-        knn_ids, _ = knn_query(self.n_neighbors, points_xyz, points_xyz,
-                               point_mask, point_mask)
-        safe = jnp.maximum(knn_ids, 0)
-        kn = jnp.take_along_axis(k, safe.reshape(k.shape[0], -1, 1), axis=1) \
-            .reshape(safe.shape + (self.hidden_channel,))
-        attn = jnp.einsum('bpc,bpkc->bpk', q, kn) / jnp.sqrt(float(self.hidden_channel))
-
+        hc = self.hidden_channel
+        q = nn.Dense(hc, dtype=dt)(lidar_features)
+        # packed k|v|valid projection: ONE Dense and ONE neighbor gather of
+        # (2*hc + 1)-wide rows instead of two hc-wide gathers plus a bool
+        # gather — neighbor gathers are row-count-bound (2.6M rows at
+        # production caps), so halving the row issues is the win. The validity
+        # flag rides as a 0/1 float lane (normal values — bit-level int
+        # packing is NOT safe through TPU float paths, see ops/knn.py).
+        kv = nn.DenseGeneral(features=(2, hc), dtype=dt,
+                             name='kv_proj')(image_features.astype(dt)) \
+            .reshape(image_features.shape[:-1] + (2 * hc,))
         img_valid = jnp.sum(jnp.abs(image_features), axis=-1) > 0          # [B,P]
-        nb_valid = jnp.take_along_axis(img_valid, safe.reshape(k.shape[0], -1), axis=1) \
-            .reshape(safe.shape) & (knn_ids >= 0)
-        attn = jnp.where(nb_valid, attn, -jnp.inf)
+        packed = jnp.concatenate([kv, img_valid[..., None].astype(dt)], axis=-1)
+
+        if point_voxel_ids is not None:
+            knn_ids, _ = voxel_bucket_knn(
+                self.n_neighbors, points_xyz, point_mask, point_mask,
+                point_voxel_ids, voxel_coords, spatial_shape)
+        else:
+            knn_ids, _ = knn_query(self.n_neighbors, points_xyz, points_xyz,
+                                   point_mask, point_mask)
+        safe = jnp.maximum(knn_ids, 0)
+        gathered = jnp.take_along_axis(
+            packed, safe.reshape(packed.shape[0], -1, 1), axis=1) \
+            .reshape(safe.shape + (2 * hc + 1,))
+        kn = gathered[..., :hc]
+        vn = gathered[..., hc:2 * hc]
+        attn = jnp.einsum('bpc,bpkc->bpk', q, kn) / jnp.sqrt(float(hc))
+
+        nb_valid = (gathered[..., 2 * hc] > 0.5) & (knn_ids >= 0)
+        # Finite mask value, NOT -inf: an all-invalid row would make softmax
+        # emit NaN, and the softmax VJP evaluated at NaN outputs propagates
+        # NaN into the q/k grads even under a ZERO incoming cotangent (the
+        # where/softmax grad trap) — every padded point row is all-invalid,
+        # so training with -inf masking NaNs the whole gradient. With a large
+        # negative logit the row softmaxes to uniform (finite fwd + bwd) and
+        # is then zeroed explicitly.
+        attn = jnp.where(nb_valid, attn, jnp.asarray(-1e9, attn.dtype))
         attn = jax.nn.softmax(attn, axis=-1)
-        attn = jnp.nan_to_num(attn)                     # all-invalid rows -> 0
+        attn = jnp.where(jnp.any(nb_valid, axis=-1, keepdims=True), attn, 0)
         attn = nn.Dropout(self.attn_pdrop, deterministic=not train)(attn)
 
-        vn = jnp.take_along_axis(v, safe.reshape(v.shape[0], -1, 1), axis=1) \
-            .reshape(safe.shape + (self.hidden_channel,))
         out = jnp.einsum('bpk,bpkc->bpc', attn, vn)
         out = nn.Dense(self.image_channel, dtype=dt)(out)
         return jnp.where(point_mask[..., None], out, 0)

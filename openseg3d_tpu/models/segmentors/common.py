@@ -138,6 +138,9 @@ def fuse_and_classify(spec: ModelSpec, batch, point_per_features, voxel_features
     fusion = jnp.concatenate([point_per_features, pvf], axis=-1)
     if deep_fusion is not None:
         img = deep_fusion(batch['points'][..., :3], cur_mask, fusion,
-                          batch['point_image_features'], train)
+                          batch['point_image_features'], train,
+                          point_voxel_ids=vids,
+                          voxel_coords=batch['voxel_coords'],
+                          spatial_shape=spec.spatial_shape)
         fusion = jnp.concatenate([fusion, img], axis=-1)
     return head(fusion, cur_mask, train)

@@ -51,8 +51,14 @@ def segment_max(data, ids, num_segments: int):
     shaped = valid.reshape(valid.shape + (1,) * (data.ndim - 1))
     out = jax.ops.segment_max(jnp.where(shaped, data, neg), ids,
                               num_segments=num_segments + 1)[:num_segments]
-    # empty segments -> 0 (torch_scatter 'max' leaves 0 for empty rows)
-    return jnp.where(out == neg, 0, out)
+    # empty segments -> 0 (torch_scatter 'max' leaves 0 for empty rows).
+    # `<=` not `==`: jax.ops.segment_max fills EMPTY segments with -inf (the
+    # max identity), not finfo.min — an == test leaves -inf rows behind, which
+    # the masked forward hides but whose 0 * -inf = NaN poisons dW in every
+    # conv backward that contracts unmasked features against masked cotangents
+    # (the round-3 "NaN dW at full scale only" incident: small tests have
+    # fully-occupied voxel slots, production caps always have empty ones).
+    return jnp.where(out <= neg, 0, out)
 
 
 def voxel_to_point(voxel_features, point_voxel_ids):

@@ -67,6 +67,12 @@ def make_level_specs(batching_info, voxel_capacity: int, fraction) -> tuple:
     specs = []
     if not isinstance(fraction, (list, tuple)):
         fraction = [fraction] * len(batching_info)
+    if len(fraction) != len(batching_info):
+        # a short list would silently leave buckets uncovered (level -1 -> all
+        # their voxels dropped); fail loudly instead (ADVICE r3)
+        raise ValueError(
+            f'fraction list has {len(fraction)} entries for '
+            f'{len(batching_info)} buckets')
     for (_, (max_tokens, lower, upper)), frac in zip(batching_info, fraction):
         w = max(1, int(math.ceil(frac * voxel_capacity / max_tokens)))
         g = attention_group(max_tokens)

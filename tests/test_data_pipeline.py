@@ -275,3 +275,26 @@ def test_parser_to_dataset_testing_contract(tmp_path, monkeypatch):
     # every return-0 label landed (seeded RNG: no duplicate cells)
     r0 = pts[:, 14] == 0
     assert arr[:, :, 1].sum() == (preds[r0] + 1).sum()
+
+
+def test_tta_pool_matches_inline(tmp_path):
+    """Pooled TTA (workers re-load the frame by index) must produce exactly
+    the inline variants, in the same order."""
+    import functools
+    _make_waymo_tree(str(tmp_path))
+    cfg = tiny_cfg()
+    factory = functools.partial(WaymoDataset, cfg, str(tmp_path), 'validation')
+    ds = factory()
+    kw = dict(scales=[0.95, 1.05], angles=[0.0], flip_x=True, flip_y=False)
+    inline = list(MultiScaleFlipAug(ds, **kw)(ds.load_raw(0)))
+    pool_tta = MultiScaleFlipAug(ds, dataset_factory=factory, num_workers=2, **kw)
+    try:
+        pooled = list(pool_tta(ds.load_raw(0), index=0))
+    finally:
+        pool_tta.close()
+    assert len(pooled) == len(inline) == 4
+    for a, b in zip(inline, pooled):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                          err_msg=k)

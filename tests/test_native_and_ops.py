@@ -123,3 +123,133 @@ def test_query_and_group_invalid_idx_zeroed():
                                      jnp.asarray(feat), idx=jnp.asarray(idx)))
     np.testing.assert_array_equal(out[0, 1], 0.0)
     assert np.all(out[1, :, 3:] == 1.0)
+
+
+def _bucket_knn_setup(rng, n, k, grid=(16, 16, 8), bucket_cap=8):
+    """Voxelize a random cloud and run both brute-force and bucket KNN."""
+    from openseg3d_tpu.core.voxelizer import points_to_voxel
+    from openseg3d_tpu.ops.knn import voxel_bucket_knn
+
+    vs = [0.5, 0.5, 0.5]
+    rg = [0, 0, 0, grid[0] * 0.5, grid[1] * 0.5, grid[2] * 0.5]
+    pts = rng.uniform(0.01, 3.99, (n, 3)).astype(np.float32)  # dense 8x8x8-voxel core
+    coords, pvid = points_to_voxel(pts, vs, rg)
+    v_cap = coords.shape[0] + 5
+    vc = -np.ones((v_cap, 3), np.int32)
+    vc[:coords.shape[0]] = coords
+    spatial = (grid[2], grid[1], grid[0])  # (gz, gy, gx)
+
+    valid = np.ones((1, n), bool)
+    idx, dist = jax.jit(lambda a, b, c, d, e: voxel_bucket_knn(
+        k, a, b, c, d, e, spatial_shape=spatial, bucket_cap=bucket_cap,
+        tile=128))(
+        jnp.asarray(pts[None]), jnp.asarray(valid), jnp.asarray(valid),
+        jnp.asarray(pvid[None]), jnp.asarray(vc[None]))
+    return pts, coords, pvid, np.asarray(idx[0]), np.asarray(dist[0])
+
+
+def test_voxel_bucket_knn_matches_brute_force_where_neighborhood_suffices():
+    """Within the 27-voxel candidate neighborhood the bucket KNN is EXACT:
+    for every query whose true brute-force top-k all lie in adjacent voxels
+    (the designed-in approximation bound), the index sets must match."""
+    rng = np.random.RandomState(7)
+    k = 8
+    pts, coords, pvid, idx, dist = _bucket_knn_setup(rng, 600, k, bucket_cap=64)
+
+    d_full = np.sum((pts[:, None] - pts[None]) ** 2, axis=-1)
+    brute = np.argsort(d_full, axis=1)[:, :k]
+
+    czyx = coords[pvid]                       # [N, 3] voxel coord per point
+    checked = 0
+    for i in range(pts.shape[0]):
+        nb_ok = np.all(np.abs(czyx[brute[i]] - czyx[i]) <= 1, axis=1)
+        if not nb_ok.all():
+            continue                          # true NN outside 27-neighborhood
+        checked += 1
+        assert set(idx[i].tolist()) == set(brute[i].tolist()), i
+    assert checked > 300                      # the bound is the common case
+
+
+def test_voxel_bucket_knn_masks_and_self():
+    """Self is always a neighbor (dist 0, reference heap-KNN behavior); invalid
+    queries return -1 everywhere; sparse isolated points get < k neighbors."""
+    from openseg3d_tpu.core.voxelizer import points_to_voxel
+    from openseg3d_tpu.ops.knn import voxel_bucket_knn
+
+    vs = [0.5, 0.5, 0.5]
+    rg = [0, 0, 0, 8, 8, 4]
+    pts = np.array([[1.1, 1.1, 1.1],
+                    [1.2, 1.2, 1.2],
+                    [7.5, 7.5, 3.5]], np.float32)   # third point isolated
+    coords, pvid = points_to_voxel(pts, vs, rg)
+    vc = -np.ones((8, 3), np.int32)
+    vc[:coords.shape[0]] = coords
+    valid = np.array([[True, True, True]])
+    qv = np.array([[True, False, True]])
+    idx, dist = voxel_bucket_knn(2, jnp.asarray(pts[None]), jnp.asarray(valid),
+                                 jnp.asarray(qv), jnp.asarray(pvid[None]),
+                                 jnp.asarray(vc[None]), spatial_shape=(8, 16, 16),
+                                 tile=8)
+    idx = np.asarray(idx[0])
+    assert set(idx[0].tolist()) == {0, 1}          # self + neighbor
+    assert (idx[1] == -1).all()                    # invalid query
+    assert idx[2, 0] == 2 and idx[2, 1] == -1      # isolated: self only
+
+
+def test_deep_fusion_bucket_path_matches_brute_force():
+    """DeepFusion output with the voxel-bucket KNN == brute-force KNN output on
+    a cloud whose neighborhoods are dense (same neighbor sets -> same attn)."""
+    from openseg3d_tpu.core.voxelizer import points_to_voxel
+    from openseg3d_tpu.models.deep_fusion import DeepFusionBlock
+
+    rng = np.random.RandomState(11)
+    n, ci = 200, 12
+    vs = [0.5, 0.5, 0.5]
+    rg = [0, 0, 0, 8, 8, 4]
+    pts = rng.uniform(1.0, 3.0, (n, 3)).astype(np.float32)
+    coords, pvid = points_to_voxel(pts, vs, rg)
+    vc = -np.ones((coords.shape[0] + 3, 3), np.int32)
+    vc[:coords.shape[0]] = coords
+
+    lidar = rng.randn(1, n, 16).astype(np.float32)
+    img = rng.randn(1, n, ci).astype(np.float32)
+    img[0, rng.rand(n) < 0.2] = 0                   # some no-camera points
+    mask = jnp.ones((1, n), bool)
+
+    block = DeepFusionBlock(image_channel=ci, n_neighbors=4)
+    params = block.init(jax.random.PRNGKey(0), jnp.asarray(pts[None]), mask,
+                        jnp.asarray(lidar), jnp.asarray(img), False)
+    brute = block.apply(params, jnp.asarray(pts[None]), mask,
+                        jnp.asarray(lidar), jnp.asarray(img), False)
+    bucket = block.apply(params, jnp.asarray(pts[None]), mask,
+                         jnp.asarray(lidar), jnp.asarray(img), False,
+                         point_voxel_ids=jnp.asarray(pvid[None]),
+                         voxel_coords=jnp.asarray(vc[None]),
+                         spatial_shape=(8, 16, 16))
+    np.testing.assert_allclose(np.asarray(bucket), np.asarray(brute),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_segment_max_empty_segments_are_exactly_zero():
+    """Regression (round-3 NaN-dW root cause): jax.ops.segment_max fills EMPTY
+    segments with -inf, not finfo.min — they must come out as exact 0, in f32
+    and bf16, or downstream conv backwards NaN on 0 * -inf."""
+    from openseg3d_tpu.ops.scatter import segment_max
+
+    for dt in (jnp.float32, jnp.bfloat16):
+        data = jnp.asarray([[1.0, -2.0], [3.0, -4.0]], dt)
+        ids = jnp.asarray([0, 0], jnp.int32)
+        out = np.asarray(jax.jit(lambda d, i: segment_max(d, i, 4))(data, ids),
+                         np.float32)
+        assert np.isfinite(out).all(), out
+        np.testing.assert_array_equal(out[1:], 0)          # segments 1-3 empty
+        np.testing.assert_array_equal(out[0], [3.0, -2.0])
+
+    # masked-consumer gradient stays finite even when the consumer multiplies
+    # empty-segment rows by zero (the production conv-backward pattern)
+    def f(d):
+        s = segment_max(d, ids, 4)
+        w = jnp.asarray([[1.0], [0.0], [0.0], [0.0]], jnp.float32)
+        return jnp.sum(s * w)
+    g = np.asarray(jax.grad(f)(jnp.asarray([[1.0, -2.0], [3.0, -4.0]])))
+    assert np.isfinite(g).all(), g

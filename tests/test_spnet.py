@@ -57,3 +57,38 @@ def test_spnet_batch_stats_update():
     after = jax.tree_util.tree_leaves(state2.batch_stats)
     diffs = [float(np.abs(np.array(a) - np.array(b)).sum()) for a, b in zip(before, after)]
     assert sum(d > 0 for d in diffs) > len(diffs) // 2, diffs
+
+
+def test_nonfinite_grad_guard_skips_update():
+    """engine.make_train_step skip-and-log guard (NOTES r3 #4 bf16 NaN dW
+    incident): a batch that yields non-finite gradients must leave params and
+    optimizer state untouched and report grads_finite=False; a sane batch
+    afterwards must update normally."""
+    cfg = tiny_cfg(MODEL={'SEGMENTOR': 'spnet'})
+    batch = _device_batch(synthetic_batch(cfg))
+    model, spec = build_segmentor(cfg)
+    tx = build_optimizer(cfg, build_schedule(cfg, 1, 10))
+    state = create_train_state(cfg, model, tx, batch, seed=0)
+    train_step = make_train_step(cfg, spec, model, donate=False)
+
+    poisoned = dict(batch)
+    pts = np.asarray(batch['points']).copy()
+    pts[0, 0, :] = np.inf                       # valid point with inf coords
+    poisoned['points'] = jnp.asarray(pts)
+    state2, m = train_step(state, poisoned, jax.random.PRNGKey(0))
+    assert not bool(m['grads_finite'])
+    assert int(state2.step) == int(state.step) + 1
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(state2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    state3, m2 = train_step(state2, batch, jax.random.PRNGKey(0))
+    assert bool(m2['grads_finite'])
+    changed = any(
+        np.abs(np.asarray(a) - np.asarray(b)).sum() > 0
+        for a, b in zip(jax.tree_util.tree_leaves(state2.params),
+                        jax.tree_util.tree_leaves(state3.params)))
+    assert changed

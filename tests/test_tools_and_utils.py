@@ -4,6 +4,7 @@ assembly, pcd writer, checkpoint round trip."""
 import os
 
 import numpy as np
+import pytest
 
 from openseg3d_tpu.utils.submission import assemble_range_image_labels
 from openseg3d_tpu.utils.visualize import write_pcd, draw_points
@@ -209,3 +210,59 @@ def test_checkpoint_roundtrip(tmp_path):
     b = jax.tree_util.tree_leaves(state2.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_gather_point_features_matches_loop_oracle():
+    """Vectorized camera-feature gather == the reference's per-point loop
+    (reference tools/extract_image_feature.py:80-102 semantics: primary
+    projection preferred even when its pixel is out of bounds)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'extract_image_feature',
+        os.path.join(os.path.dirname(__file__), '..', 'tools',
+                     'extract_image_feature.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rng = np.random.RandomState(0)
+    n, c = 500, 7
+    lidar = np.zeros((n, 12), np.float32)
+    lidar[:, 6] = rng.randint(0, 6, n)     # primary cam id (1-based; 0=none)
+    lidar[:, 9] = rng.randint(0, 6, n)     # secondary cam id
+    lidar[:, 7] = rng.randint(-5, 40, n)   # x (some out of bounds)
+    lidar[:, 8] = rng.randint(-5, 25, n)   # y
+    lidar[:, 10] = rng.randint(-5, 40, n)
+    lidar[:, 11] = rng.randint(-5, 25, n)
+    maps = {0: rng.randn(c, 20, 30).astype(np.float32),
+            2: rng.randn(c, 24, 36).astype(np.float32),
+            4: rng.randn(c, 18, 28).astype(np.float32)}
+
+    def oracle(lidar, feature_maps):
+        out = {}
+        cam1 = lidar[:, 6].astype(np.int64) - 1
+        cam2 = lidar[:, 9].astype(np.int64) - 1
+        for i in range(lidar.shape[0]):
+            if int(cam1[i]) in feature_maps:
+                cam, x, y = int(cam1[i]), int(lidar[i, 7]), int(lidar[i, 8])
+            elif int(cam2[i]) in feature_maps:
+                cam, x, y = int(cam2[i]), int(lidar[i, 10]), int(lidar[i, 11])
+            else:
+                continue
+            fm = feature_maps[cam]
+            if 0 <= y < fm.shape[1] and 0 <= x < fm.shape[2]:
+                out[i] = fm[:, y, x]
+        return out
+
+    got = mod.gather_point_features(lidar, maps)
+    want = oracle(lidar, maps)
+    assert set(got) == set(want)
+    assert len(want) > 50
+    for i in want:
+        np.testing.assert_array_equal(got[i], want[i])
+
+
+def test_make_level_specs_rejects_short_fraction_list():
+    from openseg3d_tpu.ops.window import make_level_specs
+    batching = [(0, (16, 0, 8)), (1, (32, 8, 24)), (2, (64, 24, 48))]
+    with pytest.raises(ValueError, match='fraction'):
+        make_level_specs(batching, 64, fraction=[1.0, 1.0])

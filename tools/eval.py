@@ -28,6 +28,10 @@ def parse_args():
                         'a divisor of 36 — HBM holds 2-4 at default caps)')
     p.add_argument('--synthetic', action='store_true')
     p.add_argument('--synthetic_frames', default=8, type=int)
+    p.add_argument('--tta_workers', default=0, type=int,
+                   help='host processes preparing TTA variants ahead of the '
+                        'device (0 = inline; round-3 measured the inline host '
+                        'side at ~27 s/frame on a 1-core box)')
     return p.parse_args()
 
 
@@ -49,12 +53,16 @@ def main():
     logger = get_root_logger(os.path.join(args.save_dir, 'eval.log'))
     cfg = cfg_from_file(args.cfg_file)
 
+    import functools
     if args.synthetic:
         from openseg3d_tpu.data.synthetic import SyntheticDataset
-        dataset = SyntheticDataset(cfg, args.synthetic_frames, mode='validation')
+        dataset_factory = functools.partial(
+            SyntheticDataset, cfg, args.synthetic_frames, mode='validation')
     else:
         from openseg3d_tpu.data.waymo_dataset import WaymoDataset
-        dataset = WaymoDataset(cfg, args.data_dir, 'validation')
+        dataset_factory = functools.partial(
+            WaymoDataset, cfg, args.data_dir, 'validation')
+    dataset = dataset_factory()
 
     model, spec = build_segmentor(cfg)
     tx = build_optimizer(cfg, build_schedule(cfg, 1, 1))
@@ -86,7 +94,15 @@ def main():
     # TTA protocol (tools/eval.py:97-100)
     tta = MultiScaleFlipAug(dataset, scales=[0.95, 1.0, 1.05],
                             angles=[-np.pi / 4, 0.0, np.pi / 4],
-                            flip_x=True, flip_y=True)
+                            flip_x=True, flip_y=True,
+                            dataset_factory=dataset_factory,
+                            num_workers=args.tta_workers)
+    if not args.no_tta and tta.num_variants() % max(args.tta_batch, 1) != 0:
+        # validate up front: a post-hoc assert would fire only after partial
+        # groups were already accumulated (and vanishes under -O) (ADVICE r3)
+        raise ValueError(
+            f'--tta_batch={args.tta_batch} must divide the variant count '
+            f'({tta.num_variants()})')
 
     metric = IOUMetric(dataset.class_names)
     for i in range(len(dataset)):
@@ -110,7 +126,7 @@ def main():
             # every group, and the variant axis is summed on device.
             acc, mask, gt = None, None, None
             group = []
-            for b in tta(raw):
+            for b in tta(raw, index=i):
                 if mask is None:
                     mask = np.asarray(b['point_mask'][0]) & np.asarray(b['cur_point_mask'][0])
                     gt = np.asarray(b['point_labels'][0])
@@ -122,13 +138,12 @@ def main():
                 group = []
                 ps = forward({k: jnp.asarray(v) for k, v in big.items()})
                 acc = ps.sum(axis=0) if acc is None else accum_b(acc, ps)
-            assert not group, ('--tta_batch must divide the variant count '
-                               f'({tta.num_variants()})')
             preds = np.asarray(dev_argmax(acc))
         metric.add(preds[mask], gt[mask])
         if (i + 1) % args.log_iter_interval == 0:
             logger.info('evaluated [%d/%d]', i + 1, len(dataset))
 
+    tta.close()
     result = metric.get_metric()
     logger.info('Metrics on validation dataset: mIoU=%.4f', result['mIOU'])
     for k, v in result['IOU'].items():

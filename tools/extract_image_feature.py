@@ -55,19 +55,21 @@ def gather_point_features(lidar: np.ndarray, feature_maps: dict) -> dict:
     """Vectorized gather of the reference's per-point loop
     (extract_image_feature.py:80-102): prefer the primary projection
     (cols 6-8), fall back to the secondary (cols 9-11)."""
-    out = {}
+    cams = np.asarray(sorted(feature_maps), dtype=np.int64)
     cam1 = lidar[:, 6].astype(np.int64) - 1
     cam2 = lidar[:, 9].astype(np.int64) - 1
-    for i in range(lidar.shape[0]):
-        if int(cam1[i]) in feature_maps:
-            cam, x, y = int(cam1[i]), int(lidar[i, 7]), int(lidar[i, 8])
-        elif int(cam2[i]) in feature_maps:
-            cam, x, y = int(cam2[i]), int(lidar[i, 10]), int(lidar[i, 11])
-        else:
-            continue
-        fm = feature_maps[cam]
-        if 0 <= y < fm.shape[1] and 0 <= x < fm.shape[2]:
-            out[i] = fm[:, y, x]
+    has1 = np.isin(cam1, cams)
+    has2 = np.isin(cam2, cams) & ~has1     # primary projection wins
+    cam = np.where(has1, cam1, np.where(has2, cam2, -1))
+    x = np.where(has1, lidar[:, 7], lidar[:, 10]).astype(np.int64)
+    y = np.where(has1, lidar[:, 8], lidar[:, 11]).astype(np.int64)
+    out = {}
+    for c, fm in feature_maps.items():
+        sel = ((cam == c) & (y >= 0) & (y < fm.shape[1])
+               & (x >= 0) & (x < fm.shape[2]))
+        idx = np.nonzero(sel)[0]
+        feats = fm[:, y[idx], x[idx]].T    # [n_sel, C]
+        out.update(zip(idx.tolist(), feats))
     return out
 
 

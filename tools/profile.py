@@ -140,6 +140,8 @@ def main():
     ap.add_argument('--dump_hlo', default='',
                     help='write the optimized HLO of the profiled step here '
                          '(and use it for the provenance join)')
+    ap.add_argument('--image_feature', action='store_true',
+                    help='enable DATASET.USE_IMAGE_FEATURE (DeepFusion)')
     args = ap.parse_args()
 
     if args.analyze_only:
@@ -162,11 +164,14 @@ def main():
     from openseg3d_tpu.models.optim import build_optimizer, build_schedule
     from bench import make_waymo_like_cloud
 
-    cfg = cfg_from_file('configs/waymo_one_sweep.yaml', overrides={
+    overrides = {
         'MODEL': {'SEGMENTOR': args.segmentor},
         'RUNTIME': {'MAX_POINTS_PER_SAMPLE': args.n_points,
                     'MAX_VOXELS_PER_SAMPLE': args.max_voxels},
-    })
+    }
+    if args.image_feature:
+        overrides['DATASET'] = {'USE_IMAGE_FEATURE': True}
+    cfg = cfg_from_file('configs/waymo_one_sweep.yaml', overrides=overrides)
     rng = np.random.RandomState(0)
     vg = VoxelGenerator(cfg.DATASET.VOXEL_SIZE, cfg.DATASET.POINT_CLOUD_RANGE)
     pts = make_waymo_like_cloud(rng, args.n_points)
@@ -175,6 +180,9 @@ def main():
     s = dict(points=pts, voxel_coords=coords, point_voxel_ids=ids,
              point_labels=labels,
              voxel_labels=majority_voxel_labels(ids, labels, coords.shape[0]))
+    if args.image_feature:
+        s['point_image_features'] = rng.randn(
+            args.n_points, cfg.DATASET.DIM_IMAGE_FEATURE).astype(np.float32)
     batch = collate_padded([pad_sample(s, args.n_points, args.max_voxels)])
     batch = {k: jnp.asarray(v) for k, v in batch.items() if k != 'batch_size'}
 

@@ -165,6 +165,12 @@ def main():
                 state, metrics = train_step(state, b, rng)
                 if step_i % args.log_iter_interval == 0:
                     loss = float(metrics['loss'])   # forces device sync
+                    if not bool(metrics['grads_finite']):
+                        # skip-and-log policy (engine.make_train_step): the
+                        # update was dropped on device; surface it loudly
+                        logger.error(
+                            'NON-FINITE GRADIENTS at epoch %d iter %d — '
+                            'update skipped (loss=%f)', cur_epoch, step_i, loss)
             if step_i % args.log_iter_interval == 0:
                 lr = float(schedule(int(state.step)))
                 logger.info('Train - Epoch [%d/%d] Iter [%d/%d] lr: %f, loss: %f, '

@@ -1,0 +1,125 @@
+"""Real-schema production-caps rehearsal: train -> eval -> test -> submission.
+
+Accuracy-parity evidence item (a) for a data-less environment: generate a few
+frames in the EXACT offline-parser output schema (tools/waymo_parser.py: 15-dim
+lidar .npy, [N,2] labels, 4x4 pose .txt, test-set frame list), then drive the
+REAL WaymoDataset path — not the synthetic dataset — through all three CLI
+tools at full production capacities on the real chip, ending in a Waymo
+submission proto. Everything a data-bearing host would run (PARITY_PROTOCOL.md)
+executes here except the data is generated.
+
+  python tools/rehearsal.py --work_dir runs/rehearsal_r4 [--frames 6]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def make_tree(root: str, n_frames: int, n_points: int):
+    from bench import make_waymo_like_cloud
+    rng = np.random.RandomState(0)
+    for sub in ('lidar', 'label', 'pose', 'instances'):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    names = []
+    for f in range(n_frames):
+        name = f'seg{f // 4:03d}-{1000000 + f}-{f % 4}'
+        names.append(name)
+        cloud = make_waymo_like_cloud(rng, n_points)      # [N, 6] xyz + feats
+        pts = np.zeros((n_points, 15), np.float32)
+        pts[:, :3] = cloud[:, :3]
+        pts[:, 3] = np.linalg.norm(cloud[:, :3], axis=1)  # range
+        pts[:, 4] = np.abs(cloud[:, 3])                   # intensity
+        pts[:, 5] = np.abs(cloud[:, 4])                   # elongation
+        pts[:, 6:12] = 0                                  # camera projection
+        # range-image index (ri_id, col, row) for the submission writer
+        pts[:, 12] = 0
+        pts[:, 13] = np.arange(n_points) % 2650
+        pts[:, 14] = np.arange(n_points) // 2650 % 64
+        np.save(os.path.join(root, 'lidar', name + '.npy'), pts)
+        lbl = np.zeros((n_points, 2), np.int64)
+        # height+range-correlated labels: learnable structure, not noise
+        z = cloud[:, 2]
+        r = pts[:, 3]
+        lbl[:, 1] = (1 + (z > -1.0).astype(np.int64) * 10
+                     + np.clip(r / 8, 0, 10).astype(np.int64))
+        np.save(os.path.join(root, 'label', name + '.npy'), lbl)
+        pose = np.eye(4)
+        pose[0, 3] = f * 0.5
+        np.savetxt(os.path.join(root, 'pose', name + '.txt'), pose)
+    bank = {3: [], 4: [], 10: []}
+    for lid in bank:
+        for _ in range(3):
+            cp = np.zeros((60, 6), np.float32)
+            cp[:, :3] = rng.uniform(-0.6, 0.6, (60, 3)) + [5.0, 5.0, -1.6]
+            bank[lid].append({'cluster_points': cp, 'cluster_height': 0.5})
+    with open(os.path.join(root, 'instances',
+                           'lidar_instances_with_height.pkl'), 'wb') as fh:
+        pickle.dump(bank, fh)
+    with open(os.path.join(root, '3d_semseg_test_set_frames.txt'), 'w') as fh:
+        for name in names:
+            fi, ts, _ = name.split('-')
+            fh.write(f'{fi},{ts},x\n')
+    return names
+
+
+def run(cmd, log):
+    print('>>', ' '.join(cmd), flush=True)
+    env = dict(os.environ, OPENSEG3D_ALLOW_WOD_STUB='1')
+    with open(log, 'ab') as fh:
+        fh.write((' '.join(cmd) + '\n').encode())
+        p = subprocess.run(cmd, cwd=REPO, stdout=fh, stderr=subprocess.STDOUT,
+                           env=env)
+    if p.returncode != 0:
+        print(open(log, errors='replace').read()[-3000:])
+        raise SystemExit(f'FAILED rc={p.returncode}: {" ".join(cmd)}')
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--work_dir', default='runs/rehearsal_r4')
+    ap.add_argument('--frames', type=int, default=6)
+    ap.add_argument('--n_points', type=int, default=163840)
+    ap.add_argument('--cfg_file', default='configs/waymo_one_sweep.yaml')
+    args = ap.parse_args()
+
+    work = os.path.join(REPO, args.work_dir)
+    data = os.path.join(work, 'data')
+    save = os.path.join(work, 'ckpt')
+    os.makedirs(save, exist_ok=True)
+    log = os.path.join(work, 'rehearsal.log')
+    make_tree(data, args.frames, args.n_points)
+    print(f'fixture tree: {args.frames} frames x {args.n_points} pts', flush=True)
+
+    py = sys.executable
+    run([py, 'tools/train.py', '--cfg_file', args.cfg_file,
+         '--data_dir', data, '--save_dir', save, '--epochs', '1',
+         '--batch_size', '1', '--num_workers', '2', '--seed', '0',
+         '--log_iter_interval', '1', '--no_validate'], log)
+    run([py, 'tools/eval.py', '--cfg_file', args.cfg_file,
+         '--data_dir', data, '--save_dir', save, '--no_tta'], log)
+    run([py, 'tools/test.py', '--cfg_file', args.cfg_file,
+         '--data_dir', data, '--save_dir', save,
+         '--account', 'rehearsal@example.com', '--method_name', 'rehearsal'], log)
+
+    subs = [f for f in os.listdir(save) if 'submission' in f or f.endswith('.bin')]
+    assert subs, f'no submission file in {save}'
+    path = os.path.join(save, subs[0])
+    sz = os.path.getsize(path)
+    assert sz > 1000, f'submission file suspiciously small ({sz}B)'
+    print(f'REHEARSAL OK: train+eval+test+submission at production caps '
+          f'({args.frames} frames, {args.n_points} pts/frame); '
+          f'submission {subs[0]} = {sz} bytes', flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -29,6 +29,18 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if os.environ.get('OPENSEG3D_ALLOW_WOD_STUB') == '1':
+        # rehearsal mode (tools/rehearsal.py): no waymo_open_dataset in the
+        # environment — install the pickle-backed proto stand-in. The output
+        # file is NOT a valid eval-server submission; loud by design.
+        try:
+            import waymo_open_dataset  # noqa: F401
+        except ImportError:
+            from openseg3d_tpu.utils.wod_stub import install
+            install()
+            print('WARNING: waymo_open_dataset stub installed — submission '
+                  'file is a rehearsal artifact, not a valid proto upload',
+                  flush=True)
     from openseg3d_tpu.config import cfg_from_file
     from openseg3d_tpu.utils import get_root_logger
     from openseg3d_tpu.utils.checkpoint import restore_checkpoint, latest_checkpoint

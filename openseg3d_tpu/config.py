@@ -146,6 +146,12 @@ def default_config() -> ConfigDict:
     c.MODEL.WINDOW_SHAPE = [10, 10, 8]
     c.MODEL.DEPTHS = [3, 4, 8, 3]
     c.MODEL.DROP_PATH_RATE = 0.3
+    # DeepFusion candidate-KNN shell (ops/knn.voxel_bucket_knn): kernel 3 =
+    # the 27-voxel (±1 voxel ≈ ±0.1 m) neighborhood. Widen to 5 for parity
+    # runs at far range where LiDAR spacing exceeds the default shell and
+    # points would otherwise see < n_neighbors candidates (cost ∝ kernel^3).
+    c.MODEL.FUSION_KNN_KERNEL_SIZE = 3
+    c.MODEL.FUSION_KNN_BUCKET_CAP = 8
 
     # ----- training config (schema parity) -----
     c.TRAIN = ConfigDict()

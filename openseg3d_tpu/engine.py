@@ -124,7 +124,11 @@ def make_train_step(cfg, spec: ModelSpec, model, donate: bool = True):
         for g in jax.tree_util.tree_leaves(grads):
             finite = finite & jnp.all(jnp.isfinite(g))
         applied = state.apply_gradients(grads, batch_stats)
-        skipped = state.replace(step=state.step + 1, batch_stats=batch_stats)
+        # Skipped branch keeps the PRE-update batch_stats too: when grads are
+        # non-finite because forward activations were non-finite, the same
+        # batch's BN running stats are NaN as well, and committing them would
+        # silently poison every later eval (ADVICE r4).
+        skipped = state.replace(step=state.step + 1)
         new_state = jax.tree_util.tree_map(
             lambda a, b: jnp.where(finite, a, b), applied, skipped)
         return new_state, {'loss': loss, 'grads_finite': finite}

@@ -20,6 +20,10 @@ class DeepFusionBlock(nn.Module):
     hidden_channel: int = 32
     n_neighbors: int = 16
     attn_pdrop: float = 0.3
+    # candidate-KNN shell (MODEL.FUSION_KNN_*): widen kernel for parity runs
+    # where far-range point spacing exceeds the default ±1-voxel shell
+    knn_kernel_size: int = 3
+    knn_bucket_cap: int = 8
 
     @nn.compact
     def __call__(self, points_xyz, point_mask, lidar_features, image_features,
@@ -50,7 +54,9 @@ class DeepFusionBlock(nn.Module):
         if point_voxel_ids is not None:
             knn_ids, _ = voxel_bucket_knn(
                 self.n_neighbors, points_xyz, point_mask, point_mask,
-                point_voxel_ids, voxel_coords, spatial_shape)
+                point_voxel_ids, voxel_coords, spatial_shape,
+                bucket_cap=self.knn_bucket_cap,
+                kernel_size=self.knn_kernel_size)
         else:
             knn_ids, _ = knn_query(self.n_neighbors, points_xyz, points_xyz,
                                    point_mask, point_mask)

@@ -39,6 +39,8 @@ class ModelSpec:
     voxel_size: tuple
     point_cloud_range: tuple
     compute_dtype: str = 'float32'
+    fusion_knn_kernel_size: int = 3
+    fusion_knn_bucket_cap: int = 8
 
     @property
     def dtype(self):
@@ -75,6 +77,10 @@ class ModelSpec:
             voxel_size=tuple(cfg.DATASET.VOXEL_SIZE),
             point_cloud_range=tuple(cfg.DATASET.POINT_CLOUD_RANGE),
             compute_dtype=str(cfg.RUNTIME.COMPUTE_DTYPE),
+            fusion_knn_kernel_size=int(cfg.MODEL.get(
+                'FUSION_KNN_KERNEL_SIZE', 3)),
+            fusion_knn_bucket_cap=int(cfg.MODEL.get(
+                'FUSION_KNN_BUCKET_CAP', 8)),
         )
 
 

@@ -30,7 +30,9 @@ class Segformer(nn.Module):
         out = PointTransformer(spec, self.voxel_feature_channel)(
             voxel_feats, plans, window_parts, level_specs, train)
 
-        fusion_df = (DeepFusionBlock(spec.dim_image_feature)
+        fusion_df = (DeepFusionBlock(spec.dim_image_feature,
+                                     knn_kernel_size=spec.fusion_knn_kernel_size,
+                                     knn_bucket_cap=spec.fusion_knn_bucket_cap)
                      if spec.use_image_feature else None)
         point_out = fuse_and_classify(
             spec, batch, point_per, out['voxel_features'], cur_mask, train,

@@ -28,7 +28,9 @@ class SPNet(nn.Module):
         unet_out = SparseUnet(self.voxel_feature_channel, spec.num_classes)(
             voxel_feats, plans, train)
 
-        fusion_df = (DeepFusionBlock(spec.dim_image_feature)
+        fusion_df = (DeepFusionBlock(spec.dim_image_feature,
+                                     knn_kernel_size=spec.fusion_knn_kernel_size,
+                                     knn_bucket_cap=spec.fusion_knn_bucket_cap)
                      if spec.use_image_feature else None)
         point_out = fuse_and_classify(
             spec, batch, point_per, unet_out['voxel_features'], cur_mask, train,

@@ -68,7 +68,8 @@ def knn_query(k: int, points, queries, p_valid, q_valid, tile: int = 256):
 
 
 def _bucket_knn_single(points, p_valid, q_valid, pvid, voxel_coords,
-                       spatial_shape, k: int, bucket_cap: int, tile: int):
+                       spatial_shape, k: int, bucket_cap: int, tile: int,
+                       kernel_size: int = 3):
     """Self-KNN restricted to the 27-voxel neighborhood of each query's voxel.
 
     TPU-native analog of the reference's heap KNN at DeepFusion scale
@@ -89,15 +90,20 @@ def _bucket_knn_single(points, p_valid, q_valid, pvid, voxel_coords,
     p = points.shape[0]
     v = voxel_coords.shape[0]
     c = bucket_cap
-    nb = _subm_rulebook_single(voxel_coords, spatial_shape, 3,
-                               assume_sorted=True).T        # [V, 27]
+    nk = kernel_size ** 3
+    nb = _subm_rulebook_single(voxel_coords, spatial_shape, kernel_size,
+                               assume_sorted=True).T        # [V, nk]
 
     cand_valid = p_valid & (pvid >= 0)
     ranks = inner_group_ranks(pvid, valid=cand_valid)
+    # Invalid/overflow points are routed to the out-of-bounds index v*c and
+    # DROPPED by the scatter, so every in-bounds index really is unique and
+    # the unique_indices=True promise is contractual (ADVICE r4: piling them
+    # into a real dump slot made duplicates at that slot UB-by-doc).
     slot = jnp.where(cand_valid & (ranks < c), pvid * c + ranks, v * c)
-    table = jnp.full(v * c + 1, -1, jnp.int32).at[slot].set(
+    table = jnp.full(v * c, -1, jnp.int32).at[slot].set(
         jnp.arange(p, dtype=jnp.int32), mode='drop',
-        unique_indices=True)[:v * c].reshape(v, c)
+        unique_indices=True).reshape(v, c)
 
     # Packed per-voxel candidate xyz rows [V+1, C*3] f32. The hot per-query
     # gather pulls 27 WIDE rows (C*3 floats) per point instead of 27*C narrow
@@ -125,9 +131,13 @@ def _bucket_knn_single(points, p_valid, q_valid, pvid, voxel_coords,
     def one_tile(args):
         qxyz, qvid, qok = args
         t = qxyz.shape[0]
-        cv = nb[jnp.maximum(qvid, 0)]                        # [T, 27]
-        cv = jnp.where((qvid >= 0)[:, None], cv, v)          # absent -> row V
-        x = packed[cv].reshape(t, 27 * c, 3)
+        cv = nb[jnp.maximum(qvid, 0)]                        # [T, nk]
+        # Map absent neighbors (rulebook sentinel -1) and invalid queries to
+        # the _BIG pad row V EXPLICITLY — do not rely on -1 wrapping to the
+        # last row of packed/table_pad (ADVICE r4: a gather-mode change would
+        # silently pull voxel 0's points otherwise).
+        cv = jnp.where((cv >= 0) & (qvid >= 0)[:, None], cv, v)
+        x = packed[cv].reshape(t, nk * c, 3)
         diff = qxyz[:, None, :] - x
         d = jnp.sum(diff * diff, axis=-1)                    # invalid ~ 1e20
         neg_d, pos = jax.lax.top_k(-d, k)
@@ -145,15 +155,18 @@ def _bucket_knn_single(points, p_valid, q_valid, pvid, voxel_coords,
 
 def voxel_bucket_knn(k: int, points, p_valid, q_valid, point_voxel_ids,
                      voxel_coords, spatial_shape, bucket_cap: int = 8,
-                     tile: int = 8192):
+                     tile: int = 8192, kernel_size: int = 3):
     """Batched voxel-bucket self-KNN: points [B,P,3] -> (idx [B,P,k], dist).
 
-    Candidate-limited (27-voxel neighborhood): exact where that neighborhood
-    holds >= k points, fewer/-1 neighbors where it doesn't. Used by DeepFusion
-    (deep_fusion.py), where attention masks -1 slots anyway.
+    Candidate-limited (kernel_size^3-voxel neighborhood): exact where that
+    neighborhood holds >= k points, fewer/-1 neighbors where it doesn't. Used
+    by DeepFusion (deep_fusion.py), where attention masks -1 slots anyway.
+    kernel_size widens the shell (3 -> ±0.1 m at default voxels, 5 -> ±0.2 m)
+    for parity runs where far-range point spacing exceeds the default shell
+    (ADVICE r4); cost grows as kernel_size^3 candidate rows.
     """
     f = partial(_bucket_knn_single, spatial_shape=spatial_shape, k=k,
-                bucket_cap=bucket_cap, tile=tile)
+                bucket_cap=bucket_cap, tile=tile, kernel_size=kernel_size)
     dist, idx = jax.vmap(f)(points, p_valid, q_valid, point_voxel_ids,
                             voxel_coords)
     return idx, dist

@@ -84,6 +84,12 @@ def test_nonfinite_grad_guard_skips_update():
     for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
                     jax.tree_util.tree_leaves(state2.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # batch_stats must ALSO be untouched: the poisoned forward's BN running
+    # stats are NaN, and committing them would poison every later eval
+    # (ADVICE r4 medium).
+    for a, b in zip(jax.tree_util.tree_leaves(state.batch_stats),
+                    jax.tree_util.tree_leaves(state2.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     state3, m2 = train_step(state2, batch, jax.random.PRNGKey(0))
     assert bool(m2['grads_finite'])

@@ -154,6 +154,7 @@ def main():
         data_timer, step_timer = Timer(), Timer()
         it = iter(train_loader)
         step_i = 0
+        finite_flags = []   # device arrays; synced only at log steps
         while True:
             with data_timer:
                 batch = next(it, None)
@@ -163,14 +164,22 @@ def main():
             with step_timer:
                 b = shard_batch({k: v for k, v in batch.items() if k != 'batch_size'}, mesh)
                 state, metrics = train_step(state, b, rng)
+                # grads_finite is collected EVERY iteration (ADVICE r4: a
+                # skip on a non-log iteration must not vanish silently) but
+                # only pulled to host at log steps, alongside loss.
+                finite_flags.append(metrics['grads_finite'])
                 if step_i % args.log_iter_interval == 0:
                     loss = float(metrics['loss'])   # forces device sync
-                    if not bool(metrics['grads_finite']):
+                    n_skipped = sum(1 for f in finite_flags if not bool(f))
+                    finite_flags.clear()
+                    if n_skipped:
                         # skip-and-log policy (engine.make_train_step): the
-                        # update was dropped on device; surface it loudly
+                        # updates were dropped on device; surface them loudly
                         logger.error(
-                            'NON-FINITE GRADIENTS at epoch %d iter %d — '
-                            'update skipped (loss=%f)', cur_epoch, step_i, loss)
+                            'NON-FINITE GRADIENTS: %d update(s) skipped in '
+                            'the last %d iters (epoch %d, through iter %d, '
+                            'loss=%f)', n_skipped, args.log_iter_interval,
+                            cur_epoch, step_i, loss)
             if step_i % args.log_iter_interval == 0:
                 lr = float(schedule(int(state.step)))
                 logger.info('Train - Epoch [%d/%d] Iter [%d/%d] lr: %f, loss: %f, '
@@ -178,6 +187,10 @@ def main():
                             cur_epoch, args.epochs, step_i, iters_per_epoch, lr, loss,
                             step_timer.mean * 1e3, data_timer.mean * 1e3)
                 data_timer.reset(); step_timer.reset()
+        n_skipped = sum(1 for f in finite_flags if not bool(f))
+        if n_skipped:   # trailing iterations after the last log step
+            logger.error('NON-FINITE GRADIENTS: %d update(s) skipped in the '
+                         'trailing iters of epoch %d', n_skipped, cur_epoch)
         logger.info('epoch %d done in %.1fs', cur_epoch, time.time() - t_epoch)
 
         if rank == 0:

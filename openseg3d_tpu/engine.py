@@ -136,8 +136,12 @@ def make_train_step(cfg, spec: ModelSpec, model, donate: bool = True):
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(cfg, spec: ModelSpec, model):
-    criterion = build_criterion(cfg)
+def make_eval_step(cfg, spec: ModelSpec, model, with_loss: bool = True):
+    """with_loss=False drops the criterion from the program (forward + IoU
+    histogram only): the loss path's global OHEM top-k / Lovász sorts are the
+    dominant source of GSPMD-inserted collectives, which the CPU-mesh
+    multichip dryrun pays ~0.75s of thread rendezvous each for."""
+    criterion = build_criterion(cfg) if with_loss else ()
     aux_w = float(cfg.MODEL.AUX_LOSS_WEIGHT)
     nc = spec.num_classes
 
@@ -145,7 +149,6 @@ def make_eval_step(cfg, spec: ModelSpec, model):
         out = state.apply_fn(
             {'params': state.params, 'batch_stats': state.batch_stats},
             batch, train=False)
-        loss = compute_loss(out, batch, criterion, spec, aux_w)
         preds = jnp.argmax(out['point_out'], axis=-1).reshape(-1)
         labels = batch['point_labels'].reshape(-1)
         valid = batch['cur_point_mask'] & batch['point_mask']
@@ -154,6 +157,9 @@ def make_eval_step(cfg, spec: ModelSpec, model):
             valid = valid & batch['sample_valid'][:, None]
         valid = valid.reshape(-1)
         hist = confusion_matrix(preds, labels, nc, valid)
-        return {'loss': loss, 'hist': hist, 'point_out': out['point_out']}
+        res = {'hist': hist, 'point_out': out['point_out']}
+        if with_loss:
+            res['loss'] = compute_loss(out, batch, criterion, spec, aux_w)
+        return res
 
     return jax.jit(eval_step)

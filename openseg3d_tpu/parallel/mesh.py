@@ -93,11 +93,20 @@ def make_sharded_train_step(train_step_fn, mesh: Mesh, donate: bool = True):
     )
 
 
-def make_sharded_eval_step(eval_step_fn, mesh: Mesh):
+def make_sharded_eval_step(eval_step_fn, mesh: Mesh, with_loss: bool = True):
+    """hist/loss replicate (psum), but point_out STAYS sharded on the sample
+    axis: the only consumer that wants per-point logits (tools/eval TTA) runs
+    its own jit, while the train-loop evaluate() reads hist+loss only — a
+    replicated point_out would all-gather [B, P, C] to every device each eval
+    step for nothing (also a large rendezvous cost on the CPU-mesh multichip
+    dryrun). with_loss must match the make_eval_step that built the fn."""
     repl = replicated(mesh)
     data = batch_sharding(mesh)
+    out_sh = {'hist': repl, 'point_out': data}
+    if with_loss:
+        out_sh['loss'] = repl
     return jax.jit(lambda state, batch: eval_step_fn(state, batch),
-                   in_shardings=(repl, data), out_shardings=repl)
+                   in_shardings=(repl, data), out_shardings=out_sh)
 
 
 def process_shard_indices(n: int, shuffle_seed: int | None, epoch: int,

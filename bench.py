@@ -198,7 +198,10 @@ def main():
         _ = float(out[0, 0, 0])
         med = (time.time() - t0) / args.iters
     else:
-        tstep = make_train_step(cfg, spec, model, donate=False)
+        # donate=True is the production train path (tools/train.py:144): the
+        # old state's buffers are reused in place, which removes the
+        # defragmentation copies a non-donated 3-tree update pays
+        tstep = make_train_step(cfg, spec, model, donate=True)
         key = jax.random.PRNGKey(0)
         t0 = time.time()
         state, m = tstep(state, batch, key)

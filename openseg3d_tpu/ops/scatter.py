@@ -73,7 +73,11 @@ def voxel_to_point(voxel_features, point_voxel_ids):
 
 
 def cummax(x, axis: int = 0):
-    return jax.lax.associative_scan(jnp.maximum, x, axis=axis)
+    # lax.cummax, NOT associative_scan(jnp.maximum): the generic associative
+    # scan lowers to log-depth slice/pad/max chains (profiled ~24 ms/step
+    # across the window-partition scans at Waymo caps); lax.cummax takes the
+    # same optimized lowering as cumsum
+    return jax.lax.cummax(x, axis=axis)
 
 
 def inner_group_ranks(group_ids, valid=None):

@@ -169,8 +169,11 @@ def _single_shift_keep(ss: _SortedStructure, valid, levels):
     # e at the NEXT window start (exclusive suffix-min of window-start marks);
     # the last window closes at `total` (invalid rows sort to the tail)
     g = jnp.where(ss.is_new, e, INT32_MAX)
-    inc = jax.lax.associative_scan(jnp.minimum, g[::-1])
-    nxt = jnp.concatenate([jnp.full((1,), INT32_MAX, g.dtype), inc[:-1]])[::-1]
+    # exclusive suffix-min via lax.cummin(reverse=True) — same optimized
+    # lowering as cumsum, vs the slice/pad chains of a generic
+    # associative_scan over a reversed copy
+    sm = jax.lax.cummin(g, axis=0, reverse=True)    # inclusive suffix min
+    nxt = jnp.concatenate([sm[1:], jnp.full((1,), INT32_MAX, g.dtype)])
     occ_s = jnp.minimum(nxt, total) - start_e
     lvl_s, cap_s = _bucket_level(occ_s, ms > 0, levels)
     inner_s = e - start_e
@@ -342,10 +345,21 @@ def positional_embedding(coors_in_win, window_shape, feat_dim: int,
     i = jnp.arange(pos_length, dtype=jnp.float32)
     inv_freq = pos_temperature ** (2 * jnp.floor(i / 2) / pos_length)
 
+    # inv_freq pairs lanes (floor(i/2)), so the reference's
+    # stack([sin(e[0::2]), cos(e[1::2])]).reshape interleave is EXACTLY an
+    # even/odd lane select: out[2j] = sin(e[2j]), out[2j+1] = cos(e[2j+1]).
+    # The stride-2 LANE slices are Mosaic-hostile — they lowered to
+    # element-wise gathers costing ~54 ms/step at stage-1 V (train profile
+    # r5, window.py embed); the where-select form is pure VPU work.
+    # (pos_length is even for every feat_dim/ndim in the config space; the
+    # reference's slice form silently drops the last lane when odd, so odd
+    # lengths were never representable anyway.)
+    assert pos_length % 2 == 0, pos_length
+    lane_even = (jnp.arange(pos_length, dtype=jnp.int32) % 2) == 0
+
     def embed(u):
         e = u[..., None] / inv_freq          # [..., pos_length]
-        return jnp.stack([jnp.sin(e[..., 0::2]), jnp.cos(e[..., 1::2])],
-                         axis=-1).reshape(u.shape + (pos_length // 2 * 2,))
+        return jnp.where(lane_even, jnp.sin(e), jnp.cos(e))
 
     parts = [embed(x), embed(y)] + ([embed(z)] if ndim == 3 else [])
     pe = jnp.concatenate(parts, axis=-1)

@@ -92,6 +92,9 @@ def main():
                     help='enable DATASET.USE_IMAGE_FEATURE (DeepFusion '
                          'cross-attention + KNN) with random 28-dim features')
     ap.add_argument('--cfg_file', default='configs/waymo_one_sweep.yaml')
+    ap.add_argument('--scan_unroll', type=int, default=None,
+                    help='override RUNTIME.SCAN_UNROLL (0/1): compile-time '
+                         'vs step-time tradeoff of the depth scans')
     args = ap.parse_args()
 
     os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/repo/.jax_cache')
@@ -114,6 +117,8 @@ def main():
     if args.stage_ratios:
         runtime_over['STAGE_CAPACITY_RATIOS'] = [
             float(x) for x in args.stage_ratios.split(',')]
+    if args.scan_unroll is not None:
+        runtime_over['SCAN_UNROLL'] = bool(args.scan_unroll)
     overrides = {
         'MODEL': {'SEGMENTOR': args.segmentor},
         'RUNTIME': runtime_over,

@@ -195,6 +195,12 @@ def default_config() -> ConfigDict:
     ]
     # Compute dtype for matmul-heavy paths ('float32' or 'bfloat16').
     c.RUNTIME.COMPUTE_DTYPE = 'bfloat16'
+    # Unroll the encoder-layer depth scans (swformer.py). True compiles one
+    # layer body PER layer (larger program, no loop barriers); False compiles
+    # one body per (stage, shift). Measured on the real chip (NOTES r5):
+    # infer step identical (379.0 vs 378.7 ms), train 851 vs 836 ms; fresh
+    # compile 161 vs 203 s (infer), 229 vs 245 s (train). Step time wins.
+    c.RUNTIME.SCAN_UNROLL = True
     # Number of data-parallel devices expected at train time (mesh size);
     # 0 = use all visible devices.
     c.RUNTIME.NUM_DEVICES = 0

@@ -63,7 +63,8 @@ class PointTransformer(nn.Module):
             return SWFormerBlock(
                 d_model=CHANNELS[stage], nhead=8, depth=depths[stage],
                 window_shape=spec.window_shape, levels=level_specs[stage],
-                drop_path=tuple(dpr[bounds[stage]:bounds[stage + 1]]))
+                drop_path=tuple(dpr[bounds[stage]:bounds[stage + 1]]),
+                unroll=spec.scan_unroll)
 
         x = ConvModule(48)(voxel_features, rb1, m1, train)          # conv_input
         x_conv1 = block(0)(x, window_parts[0], train)

@@ -41,6 +41,7 @@ class ModelSpec:
     compute_dtype: str = 'float32'
     fusion_knn_kernel_size: int = 3
     fusion_knn_bucket_cap: int = 8
+    scan_unroll: bool = True
 
     @property
     def dtype(self):
@@ -81,6 +82,7 @@ class ModelSpec:
                 'FUSION_KNN_KERNEL_SIZE', 3)),
             fusion_knn_bucket_cap=int(cfg.MODEL.get(
                 'FUSION_KNN_BUCKET_CAP', 8)),
+            scan_unroll=bool(cfg.RUNTIME.get('SCAN_UNROLL', True)),
         )
 
 

@@ -255,6 +255,7 @@ class SWFormerBlock(nn.Module):
     attn_drop: float = 0.1
     drop: float = 0.0
     drop_path: tuple = ()
+    unroll: bool = True
 
     @nn.compact
     def __call__(self, feat, part: WindowPartition, train: bool):
@@ -305,8 +306,11 @@ class SWFormerBlock(nn.Module):
                 variable_axes={'params': 0},
                 split_rngs={'params': True, 'dropout': True},
                 in_axes=((nn.broadcast, nn.broadcast, 0),),
-                length=n, unroll=True)  # unrolled: while-loop barriers cost
-                                        # more than the larger TPU program
+                # unroll=True: no loop barriers, larger program. Measured r5
+                # on the real chip: False costs +15ms train step (infer
+                # unchanged) and saves ~40s/16s fresh compile;
+                # RUNTIME.SCAN_UNROLL picks (config.py)
+                length=n, unroll=self.unroll)
             dp = jnp.asarray(rates[lo:hi], dtype=feat.dtype)
             feat, _ = Scan(self.d_model, self.nhead, hidden, self.levels,
                            shift, train, self.drop, self.attn_drop,

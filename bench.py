@@ -95,6 +95,10 @@ def main():
     ap.add_argument('--scan_unroll', type=int, default=None,
                     help='override RUNTIME.SCAN_UNROLL (0/1): compile-time '
                          'vs step-time tradeoff of the depth scans')
+    ap.add_argument('--losses', default='',
+                    help='override MODEL.LOSSES for train-mode ablation, '
+                         'e.g. "ce" or "ohem_ce,lovasz" (cost attribution '
+                         'of the loss block)')
     args = ap.parse_args()
 
     os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/repo/.jax_cache')
@@ -123,6 +127,9 @@ def main():
         'MODEL': {'SEGMENTOR': args.segmentor},
         'RUNTIME': runtime_over,
     }
+    if args.losses:
+        overrides['MODEL']['LOSSES'] = {
+            name: 1.0 for name in args.losses.split(',')}
     if args.image_feature:
         overrides['DATASET'] = {'USE_IMAGE_FEATURE': True}
     cfg = cfg_from_file(args.cfg_file, overrides=overrides)

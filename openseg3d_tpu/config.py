@@ -119,6 +119,11 @@ def default_config() -> ConfigDict:
     c.MODEL.LOSSES = {'ohem_ce': 1.0, 'lovasz': 1.0}
     c.MODEL.OHEM_KEEP_RATIO = 0.3
     c.MODEL.OHEM_KEEP_THRESH = 0.7
+    # Feed DATASET.CLASS_WEIGHT into the CE-family losses. Default False =
+    # reference parity: its builder parses the weights but never passes them
+    # to any loss (seg3d/models/builder.py:27-40), so the shipped recipes are
+    # tuned for the unweighted landscape (see models/losses.build_criterion).
+    c.MODEL.USE_CLASS_WEIGHT = False
     c.MODEL.AUX_LOSS_WEIGHT = 0.4
     # Window-occupancy bucket tables, one per backbone stage. Same schema as
     # the reference (seg3d/utils/config.py:42-67) but refined to power-of-2

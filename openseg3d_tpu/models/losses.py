@@ -79,15 +79,24 @@ def _lovasz_dot_impl(errors, fgf, validf):
     1146ms train step at Waymo caps (xplane: f32[22*163840] gather fusions at
     ~37ms each). A [22, N] payload sort costs ~7ms."""
     c, n = errors.shape
+    # fg/valid/original-index PACKED into one s32 payload (fg bit | valid bit
+    # | index): sort cost is per moved byte, so 2 moved columns instead of 4
+    # (key + 3 payloads) — measured on the [22, 163840] point-loss sort
+    ibits = max(n - 1, 1).bit_length()
+    assert ibits + 2 <= 31, n
     iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (c, n))
+    payload = ((fgf > 0).astype(jnp.int32) << (ibits + 1)) \
+        | ((validf > 0).astype(jnp.int32) << ibits) | iota
     # ascending sort by -errors == descending by errors; invalid rows carry
     # +inf keys so they sort last
     neg = jnp.where(validf > 0, -errors, jnp.inf)
     # unstable: any order of equal errors yields a valid Lovasz subgradient,
     # and stable lax.sort adds a hidden iota tiebreak column
-    neg_s, fg_s, val_s, idx_s = jax.lax.sort((neg, fgf, validf, iota),
-                                             num_keys=1, dimension=-1,
-                                             is_stable=False)
+    neg_s, pay_s = jax.lax.sort((neg, payload), num_keys=1, dimension=-1,
+                                is_stable=False)
+    fg_s = ((pay_s >> (ibits + 1)) & 1).astype(jnp.float32)
+    val_s = ((pay_s >> ibits) & 1).astype(jnp.float32)
+    idx_s = pay_s & ((1 << ibits) - 1)
     errors_sorted = jnp.where(jnp.isfinite(neg_s), -neg_s, 0.0)
 
     gts = jnp.sum(fgf, axis=-1, keepdims=True)
@@ -183,14 +192,20 @@ def build_criterion(cfg, class_weight=None):
     """List of (loss_fn, weight) mirroring build_criterion (builder.py:26-40);
     supports the reference's 'ce'/'ohem_ce'/'lovasz' plus 'dice'/'focal'.
 
-    DATASET.CLASS_WEIGHT (per-class weights from the shipped YAMLs) feeds the
-    CE-family losses when set — a documented deviation: the reference parses
-    these weights but its builder never passes them to any loss (builder.py:30,
-    a vestige); here they are honored. OHEM uses MODEL.OHEM_KEEP_THRESH when
-    set (the reference builder's choice, builder.py:32) and falls back to
+    DATASET.CLASS_WEIGHT is parsed but NOT fed to the losses unless
+    MODEL.USE_CLASS_WEIGHT is set — exactly the reference's behavior: its
+    builder never passes the weights to any loss (builder.py:27-40, the
+    OHEMCrossEntropyLoss weight arg stays None), so the shipped SGD-lr-0.05
+    recipe is tuned for the UNWEIGHTED landscape. Honoring the weights was a
+    round-1..4 deviation here; measured on the r5 real-schema rehearsal it
+    scales the init loss 73 vs ~10 (mean weight ~6, OHEM divides by kept
+    COUNT — reference semantics, losses.mean()) and destabilizes training at
+    the recipe's learning rates. OHEM uses MODEL.OHEM_KEEP_THRESH when set
+    (the reference builder's choice, builder.py:32) and falls back to
     MODEL.OHEM_KEEP_RATIO otherwise, so neither config key is dead."""
     ignore = cfg.DATASET.IGNORE_INDEX
-    if class_weight is None and len(cfg.DATASET.CLASS_WEIGHT):
+    use_cw = bool(cfg.MODEL.get('USE_CLASS_WEIGHT', False))
+    if class_weight is None and use_cw and len(cfg.DATASET.CLASS_WEIGHT):
         class_weight = tuple(float(w) for w in cfg.DATASET.CLASS_WEIGHT)
     cw = class_weight
     out = []

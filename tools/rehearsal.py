@@ -96,6 +96,14 @@ def main():
                          'SGD lr=0.05 is tuned for 30-epoch x 24k-frame runs; '
                          'a ~50-step rehearsal needs a smaller one to show '
                          'LEARNING, not just plumbing — VERDICT r4 weak #4)')
+    ap.add_argument('--optimizer', default=None,
+                    help='override TRAIN.OPTIMIZER (short-schedule learning '
+                         'evidence converges with adamw; the shipped SGD '
+                         'recipe needs its full 30-epoch schedule)')
+    ap.add_argument('--drop_path', type=float, default=None,
+                    help='override MODEL.DROP_PATH_RATE (0.3 regularizes '
+                         '30-epoch runs but stalls short schedules — same '
+                         'lesson as configs/synthetic_accuracy.yaml)')
     args = ap.parse_args()
 
     work = os.path.join(REPO, args.work_dir)
@@ -107,11 +115,17 @@ def main():
     print(f'fixture tree: {args.frames} frames x {args.n_points} pts', flush=True)
 
     cfg_file = args.cfg_file
-    if args.lr is not None:
+    if (args.lr is not None or args.optimizer is not None
+            or args.drop_path is not None):
         import yaml
         with open(os.path.join(REPO, args.cfg_file)) as fh:
             ycfg = yaml.safe_load(fh) or {}
-        ycfg.setdefault('TRAIN', {})['LR'] = args.lr
+        if args.lr is not None:
+            ycfg.setdefault('TRAIN', {})['LR'] = args.lr
+        if args.optimizer is not None:
+            ycfg.setdefault('TRAIN', {})['OPTIMIZER'] = args.optimizer
+        if args.drop_path is not None:
+            ycfg.setdefault('MODEL', {})['DROP_PATH_RATE'] = args.drop_path
         cfg_file = os.path.join(work, 'cfg_rehearsal.yaml')
         with open(cfg_file, 'w') as fh:
             yaml.safe_dump(ycfg, fh)

@@ -82,7 +82,8 @@ def main():
     # (at 10 iters the RTT inflated every step by ~3.5ms of pure measurement
     # artifact — host-side, not device time)
     ap.add_argument('--iters', type=int, default=25)
-    ap.add_argument('--mode', choices=['infer', 'train'], default='infer')
+    ap.add_argument('--mode', choices=['infer', 'train', 'train_fwd'],
+                    default='infer')
     ap.add_argument('--segmentor', default='segformer')
     ap.add_argument('--max_voxels', type=int, default=98304)
     ap.add_argument('--stage_ratios', type=str, default='',
@@ -127,12 +128,15 @@ def main():
         'MODEL': {'SEGMENTOR': args.segmentor},
         'RUNTIME': runtime_over,
     }
-    if args.losses:
-        overrides['MODEL']['LOSSES'] = {
-            name: 1.0 for name in args.losses.split(',')}
     if args.image_feature:
         overrides['DATASET'] = {'USE_IMAGE_FEATURE': True}
     cfg = cfg_from_file(args.cfg_file, overrides=overrides)
+    if args.losses:
+        # wholesale LOSSES replacement (the strict merge can't introduce new
+        # loss names): unfreeze -> swap -> refreeze
+        cfg = cfg.unfrozen_copy()
+        cfg.MODEL.LOSSES = {name: 1.0 for name in args.losses.split(',')}
+        cfg = cfg.freeze()
 
     rng = np.random.RandomState(0)
     vg = VoxelGenerator(cfg.DATASET.VOXEL_SIZE, cfg.DATASET.POINT_CLOUD_RANGE)
@@ -208,6 +212,31 @@ def main():
         for _i in range(args.iters):
             out = step(batch)
         _ = float(out[0, 0, 0])
+        med = (time.time() - t0) / args.iters
+    elif args.mode == 'train_fwd':
+        # decomposition probe: the TRAIN-mode forward + losses WITHOUT
+        # value_and_grad/optimizer — train minus train_fwd isolates the
+        # backward+update cost
+        from openseg3d_tpu.engine import compute_loss
+        from openseg3d_tpu.models.losses import build_criterion
+        criterion = build_criterion(cfg)
+        key = jax.random.PRNGKey(0)
+
+        @jax.jit
+        def fstep(params, batch_stats, b):
+            out, mut = model.apply(
+                {'params': params, 'batch_stats': batch_stats}, b,
+                train=True, mutable=['batch_stats'], rngs={'dropout': key})
+            return compute_loss(out, b, criterion, spec,
+                                float(cfg.MODEL.AUX_LOSS_WEIGHT))
+
+        t0 = time.time()
+        _ = float(fstep(state.params, state.batch_stats, batch))
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for _i in range(args.iters):
+            loss = fstep(state.params, state.batch_stats, batch)
+        _ = float(loss)
         med = (time.time() - t0) / args.iters
     else:
         # donate=True is the production train path (tools/train.py:144): the

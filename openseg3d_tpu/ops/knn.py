@@ -172,11 +172,90 @@ def voxel_bucket_knn(k: int, points, p_valid, q_valid, point_voxel_ids,
     return idx, dist
 
 
+def _nearest_point_pallas_single(queries, points, p_valid, tq: int = 256,
+                                 pc: int = 2048):
+    """Fused 1-NN argmin kernel: queries [Q,3], points [P,3] -> idx [Q] of the
+    nearest valid point (ties -> lowest index within each P chunk, earliest
+    chunk across chunks).
+
+    Why a kernel: the XLA k=1 path materializes the [tile, P] distance matrix
+    in HBM per tile (Q*P*4B written+read — ~9.7GB of pure HBM churn at the
+    aux-transfer shapes 12k x 98k). Here each (query-block, point-chunk) tile
+    of distances lives only in VMEM; HBM traffic collapses to the operands.
+    Distances accumulate per-axis squared differences ((q-p)^2, VPU) instead
+    of the matmul expansion — no MXU needed, no [Q,P] buffer anywhere."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q = queries.shape[0]
+    p = points.shape[0]
+    qpad = (-q) % tq
+    ppad = (-p) % pc
+    qp = jnp.pad(queries, ((0, qpad), (0, 0)))
+    pt = jnp.pad(points, ((0, ppad), (0, 0))).T              # [3, P']
+    pbig = jnp.where(jnp.pad(p_valid, (0, ppad), constant_values=False),
+                     0.0, _BIG).astype(jnp.float32)[None]    # [1, P']
+    nq, npc = (q + qpad) // tq, (p + ppad) // pc
+
+    def kernel(q_ref, p_ref, big_ref, min_ref, idx_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            min_ref[:] = jnp.full(min_ref.shape, jnp.inf, jnp.float32)
+            idx_ref[:] = jnp.full(idx_ref.shape, -1, jnp.int32)
+
+        d = big_ref[:]                                        # [1, PC] -> bcast
+        d = jnp.broadcast_to(d, (tq, pc)).astype(jnp.float32)
+        for k in range(3):
+            diff = q_ref[:, k:k + 1] - p_ref[k:k + 1, :]      # [TQ, PC]
+            d = d + diff * diff
+        m = jnp.min(d, axis=1, keepdims=True)                 # [TQ, 1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tq, pc), 1)
+        big_i = jnp.int32(2 ** 31 - 1)
+        cand = jnp.min(jnp.where(d == m, lane, big_i), axis=1,
+                       keepdims=True) + j * pc                # [TQ, 1]
+        better = m < min_ref[:]
+        idx_ref[:] = jnp.where(better, cand, idx_ref[:])
+        min_ref[:] = jnp.where(better, m, min_ref[:])
+
+    grid = (nq, npc)
+    out_min, out_idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tq, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, pc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tq, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((nq * tq, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((nq * tq, 1), jnp.int32)],
+    )(qp, pt, pbig)
+    # points padded with valid=False carry _BIG distances and never win while
+    # any valid point exists; all-invalid inputs keep idx -1 via the dist gate
+    idx = out_idx[:q, 0]
+    dist = out_min[:q, 0]
+    return jnp.where(dist < _BIG, idx, -1)
+
+
 def nearest_label_transfer(src_centers, src_labels, src_valid, dst_centers, dst_valid,
                            ignore_index: int = 255, tile: int = 256):
     """1-NN label transfer: each dst gets the label of its nearest valid src
-    (the aux-loss path, tools/train.py:86-108). Returns [B, Q] int32."""
-    idx, _ = knn_query(1, src_centers, dst_centers, src_valid, dst_valid, tile=tile)
-    idx = idx[..., 0]
+    (the aux-loss path, tools/train.py:86-108). Returns [B, Q] int32.
+
+    On TPU the 1-NN runs as a fused Pallas argmin (no [Q, P] HBM distance
+    matrix); elsewhere the tiled XLA path."""
+    if jax.default_backend() == 'tpu':
+        idx = jax.vmap(lambda qc, pc_, pv: _nearest_point_pallas_single(
+            qc, pc_, pv))(dst_centers, src_centers, src_valid)
+        idx = jnp.where(dst_valid, idx, -1)
+    else:
+        idx, _ = knn_query(1, src_centers, dst_centers, src_valid, dst_valid,
+                           tile=tile)
+        idx = idx[..., 0]
     gathered = jnp.take_along_axis(src_labels, jnp.maximum(idx, 0), axis=1)
     return jnp.where(idx >= 0, gathered, ignore_index)

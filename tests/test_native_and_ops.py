@@ -71,6 +71,39 @@ def test_nearest_label_transfer():
     np.testing.assert_array_equal(np.array(out[0]), [3, 7])
 
 
+def test_nearest_label_transfer_pallas_matches_xla():
+    """On TPU the transfer runs the fused Pallas argmin
+    (ops/knn._nearest_point_pallas_single); it must agree with the tiled XLA
+    path by nearest-DISTANCE (indices may differ on exact ties because the
+    two paths round distances differently). On CPU both branches are the XLA
+    path and the check is trivially green."""
+    rng = np.random.RandomState(11)
+    b, p, q = 2, 700, 300
+    src = jnp.asarray(rng.randn(b, p, 3).astype(np.float32) * 5)
+    dst = jnp.asarray(rng.randn(b, q, 3).astype(np.float32) * 5)
+    lbl = jnp.asarray(rng.randint(0, 22, (b, p)).astype(np.int32))
+    sv = jnp.asarray(rng.rand(b, p) < 0.9)
+    dv = jnp.asarray(rng.rand(b, q) < 0.9)
+    out = np.asarray(nearest_label_transfer(src, lbl, sv, dst, dv))
+    idx_ref, dist_ref = knn_query(1, src, dst, sv, dv)
+    idx_ref = np.asarray(idx_ref[..., 0])
+    # invalid dst rows -> ignore everywhere
+    np.testing.assert_array_equal(out[~np.asarray(dv)], 255)
+    # valid rows: the produced label belongs to SOME source at the reference
+    # nearest distance (distance-equivalence, robust to tie order)
+    srcn = np.asarray(src)
+    dstn = np.asarray(dst)
+    lbln = np.asarray(lbl)
+    svn = np.asarray(sv)
+    for bi in range(b):
+        d2 = ((dstn[bi][:, None] - srcn[bi][None]) ** 2).sum(-1)
+        d2[:, ~svn[bi]] = np.inf
+        best = d2.min(axis=1)
+        for qi in np.where(np.asarray(dv)[bi])[0]:
+            cand = lbln[bi][np.isclose(d2[qi], best[qi], rtol=1e-4, atol=1e-4)]
+            assert out[bi, qi] in cand, (bi, qi, out[bi, qi], cand)
+
+
 def test_fps_spread_and_validity():
     rng = np.random.RandomState(3)
     pts = rng.randn(64, 3).astype(np.float32)

@@ -71,3 +71,37 @@ def test_majority_includes_ignore_label():
     labels = np.array([255, 255, 3])
     out = majority_voxel_labels(ids, labels, num_voxels=1)
     assert out[0] == 255
+
+
+def test_device_voxelize_matches_host():
+    """ops/voxelize.device_voxelize must reproduce the host VoxelGenerator
+    bit-for-bit: same ascending-key voxel order, same point ids, -1 out of
+    range, overflow capped with dropped-point ids -1."""
+    import jax.numpy as jnp
+    from openseg3d_tpu.core.voxelizer import points_to_voxel
+    from openseg3d_tpu.ops.voxelize import device_voxelize
+
+    rng = np.random.RandomState(5)
+    vs = [0.2, 0.2, 0.2]
+    pr = [-3.2, -3.2, -0.8, 3.2, 3.2, 0.8]
+    for n, cap in [(500, 512), (500, 64)]:       # roomy + overflowing cap
+        pts = rng.uniform(-3.6, 3.6, (n, 3)).astype(np.float32)  # some OOR
+        pts = np.concatenate([pts, rng.randn(n, 3).astype(np.float32)], 1)
+        coords, ids = points_to_voxel(pts, vs, pr)
+        m = coords.shape[0]
+        pmask = np.ones(n, bool)
+        pmask[-7:] = False                        # padding rows
+        coords_h, ids_h = points_to_voxel(pts[:-7], vs, pr)
+        vc, vm, vids, nv = device_voxelize(jnp.asarray(pts[None]),
+                                           jnp.asarray(pmask[None]),
+                                           vs, pr, cap)
+        vc, vm, vids, nv = (np.asarray(vc[0]), np.asarray(vm[0]),
+                            np.asarray(vids[0]), int(nv[0]))
+        mh = coords_h.shape[0]
+        assert nv == mh
+        k = min(mh, cap)
+        np.testing.assert_array_equal(vc[:k], coords_h[:k])
+        assert np.all(vc[k:, 0] == -1) and not vm[k:].any()
+        exp_ids = np.where(ids_h >= cap, -1, ids_h)
+        np.testing.assert_array_equal(vids[:-7], exp_ids)
+        np.testing.assert_array_equal(vids[-7:], -1)

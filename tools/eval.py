@@ -32,6 +32,15 @@ def parse_args():
                    help='host processes preparing TTA variants ahead of the '
                         'device (0 = inline; round-3 measured the inline host '
                         'side at ~27 s/frame on a 1-core box)')
+    p.add_argument('--tta_device', action='store_true',
+                   help='run the TTA transforms AND re-voxelization on device '
+                        '(ops/voxelize): the 36 variant parameters become '
+                        'traced inputs of one jitted forward, so the host '
+                        'touches each frame once. Cartesian single-sweep '
+                        'without image features only. Measured r5 on a 1-core '
+                        'host: 34.5 -> 16.8 s/frame (pure device forwards; '
+                        'use --tta_batch 1 — B=2 execution is ~2.3x/sample '
+                        'slower, NOTES r5)')
     return p.parse_args()
 
 
@@ -83,6 +92,48 @@ def main():
         out = model.apply(variables, batch, train=False)
         return jax.nn.softmax(out['point_out'].astype(jnp.float32), axis=-1)
 
+    if args.tta_device and not args.no_tta:
+        if (cfg.DATASET.USE_MULTI_SWEEPS or cfg.DATASET.USE_CYLINDER
+                or cfg.DATASET.USE_IMAGE_FEATURE):
+            raise ValueError('--tta_device supports cartesian single-sweep '
+                             'configs without image features (the host TTA '
+                             'path covers the rest)')
+        from openseg3d_tpu.ops.voxelize import device_voxelize
+        p_cap = int(cfg.RUNTIME.MAX_POINTS_PER_SAMPLE)
+        v_cap = int(cfg.RUNTIME.MAX_VOXELS_PER_SAMPLE)
+        vs = tuple(float(v) for v in cfg.DATASET.VOXEL_SIZE)
+        pr = tuple(float(v) for v in cfg.DATASET.POINT_CLOUD_RANGE)
+
+        @jax.jit
+        def tta_device_group(points1, pmask1, var_params):
+            """points1 [P, D], pmask1 [P], var_params [G, 4] rows of
+            (scale, angle, x_mult, y_mult) -> [P, C] softmax-prob SUM over
+            the G variants. Transform semantics mirror
+            data/test_time_aug._prepare_variant exactly: scale, rotate_z
+            (x -> y positive), then axis sign flips."""
+            def tx(pp):
+                scale, angle, mx, my = pp[0], pp[1], pp[2], pp[3]
+                xyz = points1[:, :3] * scale
+                cth, sth = jnp.cos(angle), jnp.sin(angle)
+                rot = jnp.stack([
+                    jnp.stack([cth, sth, jnp.float32(0)]),
+                    jnp.stack([-sth, cth, jnp.float32(0)]),
+                    jnp.stack([jnp.float32(0), jnp.float32(0), jnp.float32(1)]),
+                ])
+                xyz = xyz @ rot
+                xyz = xyz * jnp.stack([mx, my, jnp.float32(1)])
+                return jnp.concatenate([xyz, points1[:, 3:]], axis=1)
+
+            pts = jax.vmap(tx)(var_params)                       # [G, P, D]
+            pm = jnp.broadcast_to(pmask1[None], pts.shape[:2])
+            vc, vm, vids, _ = device_voxelize(pts, pm, vs, pr, v_cap)
+            batch = {'points': pts, 'point_mask': pm, 'cur_point_mask': pm,
+                     'point_voxel_ids': vids, 'voxel_coords': vc,
+                     'voxel_mask': vm}
+            out = model.apply(variables, batch, train=False)
+            probs = jax.nn.softmax(out['point_out'].astype(jnp.float32), -1)
+            return probs.sum(axis=0)
+
     # TTA accumulation stays ON DEVICE: reading the [N, 22] prob tensor back
     # per variant costs ~14MB x 36 through the axon tunnel; accumulating in
     # HBM and reading back one int32 argmax per frame removes ~99% of that.
@@ -118,6 +169,29 @@ def main():
             preds = np.asarray(dev_argmax(forward(b)[0]))
             mask = np.asarray(b['point_mask'][0]) & np.asarray(b['cur_point_mask'][0])
             gt = np.asarray(b['point_labels'][0])
+        elif args.tta_device:
+            # host touches the frame ONCE: pad the raw cloud; every variant's
+            # transform + voxelization happens inside tta_device_group
+            pts_raw = np.asarray(raw['points'], np.float32)[:p_cap]
+            n = pts_raw.shape[0]
+            points1 = np.zeros((p_cap, pts_raw.shape[1]), np.float32)
+            points1[:n] = pts_raw
+            pmask1 = np.zeros(p_cap, bool)
+            pmask1[:n] = True
+            gt = np.full(p_cap, 255, np.int32)
+            gt[:n] = np.asarray(raw['point_labels'], np.int32)[:n]
+            mask = pmask1
+            pts_dev = jnp.asarray(points1)
+            pm_dev = jnp.asarray(pmask1)
+            params = [(s, a, -1.0 if fy else 1.0, -1.0 if fx else 1.0)
+                      for s, a, fx, fy in tta._variant_params()]
+            g = max(args.tta_batch, 1)
+            acc = None
+            for lo in range(0, len(params), g):
+                vp = jnp.asarray(np.asarray(params[lo:lo + g], np.float32))
+                ps = tta_device_group(pts_dev, pm_dev, vp)
+                acc = ps if acc is None else accum(acc, ps)
+            preds = np.asarray(dev_argmax(acc))
         else:
             # softmax-mean over variants; each variant may reorder points, so
             # accumulation is in padded order (variants share the raw order

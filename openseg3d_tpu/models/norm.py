@@ -34,14 +34,23 @@ class MaskedBatchNorm(nn.Module):
 
         if train:
             xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
             if mask is not None:
+                # ONE pass over x: sum and sum-of-squares reduce together (a
+                # sequential mean-then-centered-var needs two full reads of
+                # the [N, C] activations per BN, and the model is BN-heavy).
+                # var = E[x^2] - E[x]^2 clamped at 0: f32 cancellation on
+                # roughly-centered activations is well below eps=1e-3, but
+                # tiny negative results would NaN the rsqrt.
                 m = mask.astype(jnp.float32)[..., None]
                 count = jnp.maximum(jnp.sum(m), 1.0)
-                mean = jnp.sum(xf * m, axis=tuple(range(x.ndim - 1))) / count
-                var = jnp.sum(jnp.square(xf - mean) * m, axis=tuple(range(x.ndim - 1))) / count
+                xm = xf * m
+                mean = jnp.sum(xm, axis=axes) / count
+                ex2 = jnp.sum(xm * xf, axis=axes) / count
+                var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
             else:
-                mean = jnp.mean(xf, axis=tuple(range(x.ndim - 1)))
-                var = jnp.var(xf, axis=tuple(range(x.ndim - 1)))
+                mean = jnp.mean(xf, axis=axes)
+                var = jnp.var(xf, axis=axes)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
